@@ -1,0 +1,37 @@
+"""GALA-TPU: a TPU-native GNN acceleration language and compiler.
+
+A from-scratch re-design of the capabilities of the GALA artifact
+(ADAPT-uiuc/GALA-GNN-Acceleration-LAnguage) for TPU hardware:
+
+- The reference is an ahead-of-time DSL -> CUDA/libtorch code generator
+  (reference: src/frontend, src/codegen/cuda.h).  Here the same DSL is
+  parsed into a graph IR, optimized by the same four whole-program passes,
+  and *lowered to a jitted JAX program* -- XLA is the code generator and
+  Pallas supplies the hand-tuned kernels the reference emits as CUDA text.
+- Compute path: jax / XLA / Pallas; sparse aggregation runs on the MXU
+  where profitable (dense & block-sparse strategies) and via sorted
+  segment reductions otherwise.
+- Scale-out: `jax.sharding` meshes with `shard_map` (see gala_tpu.parallel),
+  which the reference lacks entirely (its Environment enum is aspirational,
+  reference: src/codegen/common.h:22-29).
+
+Public API (mirrors the reference driver CLIs, reference: tests/gala_train.cpp):
+
+    import gala_tpu as gt
+    prog  = gt.compile_file("model.txt")          # text DSL -> CompiledModel
+    stats = prog.train()                          # runs the training loop
+    print(stats.csv())                            # 'inference_time,total_time'
+"""
+
+__version__ = "0.1.0"
+
+from gala_tpu.ops.graph import Graph
+from gala_tpu.api import compile_file, compile_source, compile_model
+
+__all__ = [
+    "Graph",
+    "compile_file",
+    "compile_source",
+    "compile_model",
+    "__version__",
+]

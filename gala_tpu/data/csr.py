@@ -1,0 +1,165 @@
+"""Host-side sparse-graph construction (NumPy).
+
+TPU-native counterpart of the reference's OpenMP CSR machinery
+(reference: src/formats/csrc_matrix.h:148-376 `CSRCMatrix::build`,
+src/utils/mtx_sort.h counting sorts).  On TPU the device kernels consume
+*edge lists sorted by destination row* (plus row pointers), so the
+canonical host format here is a sorted-COO + CSR hybrid:
+
+    row_ptr : (n_rows+1,) int32   CSR offsets over dst-sorted edges
+    dst     : (n_edges,)  int32   destination (row) ids, ascending
+    src     : (n_edges,)  int32   source (column) ids
+    vals    : (n_edges,)  float32 edge values (1.0 when unweighted)
+
+All builds are O(E) counting sorts, the NumPy equivalents of the
+reference's `count_atomic`/`count_sort_place` pipeline.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class HostCSR:
+    """A dst-sorted edge list with CSR row pointers (host / NumPy)."""
+
+    n_rows: int
+    n_cols: int
+    row_ptr: np.ndarray  # (n_rows+1,) int64-safe offsets, stored int64
+    dst: np.ndarray      # (E,) int32, sorted ascending
+    src: np.ndarray      # (E,) int32
+    vals: np.ndarray     # (E,) float32
+
+    @property
+    def n_edges(self) -> int:
+        return int(self.dst.shape[0])
+
+    @property
+    def degrees(self) -> np.ndarray:
+        """Row (in-)degrees: number of incoming edges per destination node."""
+        return np.diff(self.row_ptr).astype(np.int32)
+
+    def density(self) -> float:
+        n = max(self.n_rows, 1)
+        return self.n_edges / float(n * n)
+
+
+def coo_to_csr(
+    src: np.ndarray,
+    dst: np.ndarray,
+    vals: np.ndarray | None,
+    n_rows: int,
+    n_cols: int | None = None,
+) -> HostCSR:
+    """Build a dst-sorted CSR from a COO edge list (counting sort, O(E)).
+
+    Mirrors `CSRCMatrix::build` (reference: src/formats/csrc_matrix.h:148)
+    but keyed on *dst* because TPU aggregation reduces into destination rows.
+    """
+    n_cols = n_rows if n_cols is None else n_cols
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    e = src.shape[0]
+    if vals is None:
+        vals = np.ones(e, dtype=np.float32)
+    else:
+        vals = np.asarray(vals, dtype=np.float32)
+
+    counts = np.bincount(dst, minlength=n_rows)
+    row_ptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+
+    order = np.argsort(dst, kind="stable")
+    return HostCSR(
+        n_rows=n_rows,
+        n_cols=n_cols,
+        row_ptr=row_ptr,
+        dst=dst[order].astype(np.int32),
+        src=src[order].astype(np.int32),
+        vals=vals[order],
+    )
+
+
+def transpose(g: HostCSR) -> HostCSR:
+    """CSR of the reverse graph (dst<->src swapped, re-sorted).
+
+    This is the backward-pass graph: the reference stores it at global
+    index 2*layer+1 (reference: src/codegen/cuda.h:1092-1299) and aliases
+    it to the forward graph when the graph is undirected.
+    """
+    return coo_to_csr(g.dst, g.src, g.vals, n_rows=g.n_cols, n_cols=g.n_rows)
+
+
+def is_symmetric(g: HostCSR) -> bool:
+    """True if the (unweighted) edge set equals its transpose."""
+    a = np.stack([g.dst.astype(np.int64), g.src.astype(np.int64)])
+    key_fwd = np.sort(a[0] * g.n_cols + a[1])
+    key_bwd = np.sort(a[1] * g.n_rows + a[0])
+    return key_fwd.shape == key_bwd.shape and bool(np.array_equal(key_fwd, key_bwd))
+
+
+def normalize_self_loops(
+    src: np.ndarray, dst: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop existing self loops, dedupe edges, then add one self loop per node.
+
+    Matches the reference dataset export convention
+    (reference: scripts/Data/gala_export_npy.py:73-74 — remove_self_loop
+    followed by add_self_loop before writing Adj npys).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    key = src * n + dst
+    key = np.unique(key)
+    src, dst = key // n, key % n
+    loop = np.arange(n, dtype=np.int64)
+    return np.concatenate([src, loop]), np.concatenate([dst, loop])
+
+
+def symmetrize(src: np.ndarray, dst: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Make an edge list undirected (union with reversed edges, deduped).
+
+    Counterpart of the DSL directive `G.set_undirected(true)`
+    (reference: src/frontend/frontend.y:297).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    a = np.concatenate([src, dst])
+    b = np.concatenate([dst, src])
+    key = np.unique(a * n + b)
+    return key // n, key % n
+
+
+def pad_edges(g: HostCSR, multiple: int = 128) -> tuple[HostCSR, int]:
+    """Pad the edge list to a multiple of `multiple` with phantom edges.
+
+    Phantom edges point at a phantom row `n_rows` with value 0, so device
+    kernels can run on static shapes and reductions into row `n_rows` are
+    discarded.  Returns (padded graph, real edge count).
+    """
+    e = g.n_edges
+    pe = ((e + multiple - 1) // multiple) * multiple
+    if pe == e:
+        return g, e
+    pad = pe - e
+    dst = np.concatenate([g.dst, np.full(pad, g.n_rows, dtype=np.int32)])
+    src = np.concatenate([g.src, np.full(pad, min(g.n_cols, g.n_rows), dtype=np.int32)])
+    vals = np.concatenate([g.vals, np.zeros(pad, dtype=np.float32)])
+    row_ptr = np.concatenate([g.row_ptr, np.asarray([pe], dtype=np.int64)])
+    return (
+        HostCSR(n_rows=g.n_rows, n_cols=g.n_cols, row_ptr=row_ptr, dst=dst, src=src, vals=vals),
+        e,
+    )
+
+
+def densify(g: HostCSR) -> np.ndarray:
+    """Dense (n_rows, n_cols) float32 adjacency — the MXU execution path
+    for small graphs (strategy selection in gala_tpu.ops.spmm)."""
+    a = np.zeros((g.n_rows, g.n_cols), dtype=np.float32)
+    # += semantics for duplicate edges via np.add.at
+    np.add.at(a, (g.dst.astype(np.int64), g.src.astype(np.int64)), g.vals)
+    return a

@@ -1,0 +1,119 @@
+"""Synthetic graph generators (R-MAT, random geometric, planted-label).
+
+TPU-native counterpart of the reference's generators
+(reference: src/utils/generator.h:36-365 `generate_rmat`, `generate_rgg2D`).
+Used by tests and by the dataset registry when real OGB/Planetoid npy data
+is absent (this image has no network egress).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from gala_tpu.data.csr import coo_to_csr, normalize_self_loops, symmetrize, HostCSR
+
+
+def rmat_edges(
+    n: int,
+    n_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """R-MAT edge list (reference: src/utils/generator.h:36 `generate_rmat`)."""
+    rng = np.random.default_rng(seed)
+    scale = int(np.ceil(np.log2(max(n, 2))))
+    src = np.zeros(n_edges, dtype=np.int64)
+    dst = np.zeros(n_edges, dtype=np.int64)
+    p = np.array([a, b, c, 1.0 - a - b - c])
+    for level in range(scale):
+        quad = rng.choice(4, size=n_edges, p=p)
+        bit = 1 << (scale - 1 - level)
+        src += np.where((quad == 2) | (quad == 3), bit, 0)
+        dst += np.where((quad == 1) | (quad == 3), bit, 0)
+    keep = (src < n) & (dst < n)
+    return src[keep], dst[keep]
+
+
+def rgg2d_edges(n: int, radius: float, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Random geometric graph in the unit square
+    (reference: src/utils/generator.h `generate_rgg2D`)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 2))
+    # grid-bucket neighbor search, O(n) for constant expected degree
+    cell = max(radius, 1e-6)
+    gx = (pts[:, 0] / cell).astype(np.int64)
+    gy = (pts[:, 1] / cell).astype(np.int64)
+    ncell = int(np.ceil(1.0 / cell))
+    bucket: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        bucket.setdefault((int(gx[i]), int(gy[i])), []).append(i)
+    srcs, dsts = [], []
+    r2 = radius * radius
+    for (cx, cy), members in bucket.items():
+        cand: list[int] = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(bucket.get((cx + dx, cy + dy), []))
+        cand_arr = np.asarray(cand)
+        for i in members:
+            d2 = np.sum((pts[cand_arr] - pts[i]) ** 2, axis=1)
+            nb = cand_arr[(d2 < r2) & (cand_arr != i)]
+            srcs.append(np.full(nb.shape[0], i, dtype=np.int64))
+            dsts.append(nb.astype(np.int64))
+    if not srcs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
+def synthetic_dataset(
+    n: int = 512,
+    avg_degree: int = 8,
+    n_feats: int = 32,
+    n_classes: int = 7,
+    train_frac: float = 0.3,
+    val_frac: float = 0.2,
+    seed: int = 0,
+    undirected: bool = True,
+):
+    """A small planted-community node-classification dataset.
+
+    Returns the same tuple layout as the GALA npy loader
+    (gala_tpu.data.io.load_gala_npy): (HostCSR, feats, labels, masks dict).
+    Features are noisy class indicators so a 2-layer GCN reaches high
+    accuracy quickly — the accuracy-as-oracle test strategy of the
+    reference (SURVEY.md §4, reference: scripts/Evaluations/Table-7.py).
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, size=n, dtype=np.int64)
+
+    # community-biased edges: ~70% intra-class
+    e = n * avg_degree
+    src = rng.integers(0, n, size=e, dtype=np.int64)
+    same = rng.random(e) < 0.7
+    # pick intra-class partner: random member of same class
+    class_members = [np.flatnonzero(labels == c) for c in range(n_classes)]
+    dst = rng.integers(0, n, size=e, dtype=np.int64)
+    for c in range(n_classes):
+        sel = same & (labels[src] == c)
+        if class_members[c].size:
+            dst[sel] = rng.choice(class_members[c], size=int(sel.sum()))
+    if undirected:
+        src, dst = symmetrize(src, dst, n)
+    src, dst = normalize_self_loops(src, dst, n)
+    g = coo_to_csr(src, dst, None, n_rows=n)
+
+    feats = rng.normal(0.0, 1.0, size=(n, n_feats)).astype(np.float32)
+    feats[np.arange(n), labels % n_feats] += 2.5
+
+    perm = rng.permutation(n)
+    n_train = int(train_frac * n)
+    n_val = int(val_frac * n)
+    train_mask = np.zeros(n, dtype=bool)
+    val_mask = np.zeros(n, dtype=bool)
+    test_mask = np.zeros(n, dtype=bool)
+    train_mask[perm[:n_train]] = True
+    val_mask[perm[n_train : n_train + n_val]] = True
+    test_mask[perm[n_train + n_val :]] = True
+    masks = {"train": train_mask, "val": val_mask, "test": test_mask}
+    return g, feats, labels, masks

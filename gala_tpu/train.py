@@ -1,0 +1,195 @@
+"""Training loop: Adam + cross-entropy on the train mask, timed epochs.
+
+Replaces the reference's generated `main()` training loop
+(reference: src/codegen/common.h:1474-1587):
+
+- optimizer: Adam(lr=0.01, weight_decay=5e-4) with torch semantics
+  (decay added to the gradient before the moment update).
+- loss: cross-entropy over train-mask rows only.
+- timing: per-epoch forward time and total (fwd+bwd+step) time; the first
+  `warmup` epochs are excluded from the means (reference skips 5).
+- validation: every `valid_step` epochs the forward pass runs on the full
+  graph (graph index 0) and test accuracy is recorded; other epochs may
+  run on per-layer training subgraphs (reference: the `ep % mod_v`
+  dispatch in src/codegen/common.h:919-925).
+
+The whole epoch is a single jitted step; forward-only timing uses a
+separately jitted forward (both `block_until_ready`-fenced, the TPU
+equivalent of the reference's cudaDeviceSynchronize brackets).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gala_tpu.ops.graph import Graph
+
+
+def masked_cross_entropy(logits: jax.Array, labels: jax.Array, mask: jax.Array):
+    """Mean CE over mask rows (mask includes padding=False rows)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    m = mask.astype(logits.dtype)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def masked_accuracy(logits: jax.Array, labels: jax.Array, mask: jax.Array):
+    pred = jnp.argmax(logits, axis=-1)
+    m = mask.astype(jnp.float32)
+    return jnp.sum((pred == labels) * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_optimizer(lr: float = 0.01, weight_decay: float = 5e-4):
+    """torch Adam(lr, weight_decay) semantics: L2 added to grads, then Adam
+    (NOT decoupled AdamW) — reference: generated `torch::optim::Adam(...,
+    .weight_decay(5e-4))` (src/codegen/common.h:1480)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr),
+    )
+
+
+@dataclasses.dataclass
+class TrainResult:
+    inference_time: float   # mean fwd seconds/epoch (post warmup)
+    total_time: float       # mean fwd+bwd+step seconds/epoch
+    max_accuracy: float     # max test accuracy over validation epochs
+    losses: list
+    accuracies: list
+    params: object
+    memory_mb: float = 0.0
+
+    def csv(self, print_accuracy: bool = False, print_memory: bool = False) -> str:
+        """The reference's stdout CSV contract
+        (reference: src/codegen/common.h:1571-1587)."""
+        if print_memory:
+            return f"{self.memory_mb},{self.inference_time},{self.total_time}"
+        if print_accuracy:
+            return f"{self.inference_time},{self.total_time},{self.max_accuracy}"
+        return f"{self.inference_time},{self.total_time}"
+
+
+def device_memory_mb() -> float:
+    """Live device memory in MB (the cudaMemGetInfo analog,
+    reference: src/codegen/cuda.h:1000-1008)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return float(stats.get("bytes_in_use", 0)) / 1e6
+    except Exception:
+        return 0.0
+
+
+def train(
+    forward: Callable,
+    params,
+    full_graphs: Sequence[Graph],
+    x: jax.Array,
+    labels: jax.Array,
+    train_mask: jax.Array,
+    test_mask: jax.Array,
+    iters: int = 100,
+    valid_step: int = 5,
+    lr: float = 0.01,
+    weight_decay: float = 5e-4,
+    warmup: int = 5,
+    train_graphs: Sequence[Graph] | None = None,
+    invariant: Callable | None = None,
+    measure_memory: bool = False,
+) -> TrainResult:
+    """Run the full training protocol and return timing/accuracy stats.
+
+    forward(params, graphs, x) -> logits (n_pad, n_classes)
+    invariant: optional hoisted prefix fn(graphs, x) -> x' run once outside
+        the loop (training-invariant code motion product).
+    train_graphs: per-layer training subgraphs; when given, non-validation
+        epochs aggregate over them instead of the full graph.
+    """
+    tx = make_optimizer(lr, weight_decay)
+    opt_state = tx.init(params)
+
+    if invariant is not None:
+        x_train = jax.jit(invariant)(
+            train_graphs if train_graphs is not None else full_graphs, x
+        )
+        x_full = (
+            jax.jit(invariant)(full_graphs, x)
+            if train_graphs is not None
+            else x_train
+        )
+    else:
+        x_train = x_full = x
+
+    @jax.jit
+    def fwd_full(params):
+        return forward(params, full_graphs, x_full)
+
+    use_sub = train_graphs is not None
+
+    @jax.jit
+    def fwd_train(params):
+        gs = train_graphs if use_sub else full_graphs
+        return forward(params, gs, x_train if use_sub else x_full)
+
+    def loss_fn(params, training: bool):
+        logits = fwd_train(params) if training else fwd_full(params)
+        return masked_cross_entropy(logits, labels, train_mask)
+
+    @jax.jit
+    def step_train(params, opt_state):
+        loss, grads = jax.value_and_grad(lambda p: loss_fn(p, True))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def step_full(params, opt_state):
+        loss, grads = jax.value_and_grad(lambda p: loss_fn(p, False))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def test_acc(params):
+        return masked_accuracy(fwd_full(params), labels, test_mask)
+
+    fwd_times, tot_times, losses, accs = [], [], [], []
+    mem_mb = 0.0
+    for epoch in range(iters):
+        is_valid = valid_step > 0 and (epoch % valid_step == 0)
+        # timed forward (inference time)
+        t0 = time.perf_counter()
+        logits = (fwd_full if is_valid else fwd_train)(params)
+        jax.block_until_ready(logits)
+        t1 = time.perf_counter()
+        # full step (re-runs forward inside grad, matching the reference's
+        # fwd-then-backward bracket structure)
+        params, opt_state, loss = (step_full if is_valid else step_train)(
+            params, opt_state
+        )
+        jax.block_until_ready(loss)
+        t2 = time.perf_counter()
+
+        if epoch >= warmup:
+            fwd_times.append(t1 - t0)
+            tot_times.append(t2 - t0)
+        losses.append(float(loss))
+        if is_valid:
+            accs.append(float(test_acc(params)))
+        if measure_memory and epoch == warmup:
+            mem_mb = device_memory_mb()
+
+    return TrainResult(
+        inference_time=float(np.mean(fwd_times)) if fwd_times else 0.0,
+        total_time=float(np.mean(tot_times)) if tot_times else 0.0,
+        max_accuracy=float(np.max(accs)) if accs else 0.0,
+        losses=losses,
+        accuracies=accs,
+        params=params,
+        memory_mb=mem_mb,
+    )

@@ -1,0 +1,87 @@
+"""Kernel tests: SpMM / SpMM-with-edge-values vs dense reference, all
+strategies, forward + backward (the allclose-vs-dense test pyramid the
+reference lacks, SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gala_tpu.data.csr import densify
+from gala_tpu.ops.graph import Graph, choose_strategy
+from gala_tpu.ops.spmm import spmm, spmm_direct, spmm_ev
+
+STRATEGIES = ["dense", "segment", "segment_scan"]
+
+
+@pytest.fixture(scope="module", params=STRATEGIES)
+def graph_and_dense(request, small_dataset):
+    g_host, *_ = small_dataset
+    g = Graph.from_host(g_host, strategy=request.param)
+    return g, densify(g_host)
+
+
+def _x(g, f=16, seed=0):
+    x = np.random.default_rng(seed).normal(size=(g.n_nodes, f)).astype(np.float32)
+    return x, g.pad_nodes(x)
+
+
+def test_spmm_forward(graph_and_dense):
+    g, a = graph_and_dense
+    x, xp = _x(g)
+    out = np.asarray(spmm(g, xp))
+    np.testing.assert_allclose(out[: g.n_nodes], a @ x, rtol=1e-4, atol=1e-4)
+    # padding rows produce zeros for real sources
+    assert np.allclose(out[g.n_nodes :], 0.0, atol=1e-5)
+
+
+def test_spmm_backward_uses_transpose(graph_and_dense):
+    g, a = graph_and_dense
+    x, xp = _x(g)
+    grad = jax.grad(lambda v: jnp.sum(spmm(g, v) ** 2))(xp)
+    ref = 2 * a.T @ (a @ x)
+    np.testing.assert_allclose(np.asarray(grad)[: g.n_nodes], ref, rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_ev_grads(graph_and_dense):
+    g, a = graph_and_dense
+    x, xp = _x(g)
+    vals = g.vals
+
+    dv = jax.grad(lambda v: jnp.sum(spmm_ev(g, v, xp) ** 2))(vals)
+    dz = 2 * (a @ x)
+    src = np.asarray(g.src)[: g.n_edges]
+    dst = np.asarray(g.dst)[: g.n_edges]
+    dv_ref = np.sum(dz[dst] * x[src], axis=-1)
+    np.testing.assert_allclose(np.asarray(dv)[: g.n_edges], dv_ref, rtol=1e-3, atol=1e-3)
+
+    dx = jax.grad(lambda v: jnp.sum(spmm_ev(g, vals, v) ** 2))(xp)
+    np.testing.assert_allclose(
+        np.asarray(dx)[: g.n_nodes], 2 * a.T @ (a @ x), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_spmm_direct_detached(graph_and_dense):
+    g, a = graph_and_dense
+    x, xp = _x(g)
+    grad = jax.grad(lambda v: jnp.sum(spmm_direct(g, v)))(xp)
+    assert np.allclose(np.asarray(grad), 0.0)
+
+
+def test_degrees_match(graph_and_dense):
+    g, a = graph_and_dense
+    np.testing.assert_allclose(
+        np.asarray(g.deg)[: g.n_nodes, 0], a.sum(axis=1), rtol=1e-6
+    )
+
+
+def test_strategy_heuristic():
+    assert choose_strategy(1000, 1000, 5000) == "dense"
+    assert choose_strategy(10**6, 10**6, 10**5) == "segment"
+    assert choose_strategy(10**6, 10**6, 10**9) == "segment_scan"
+
+
+def test_spmm_under_jit(graph_and_dense):
+    g, a = graph_and_dense
+    x, xp = _x(g)
+    out = jax.jit(lambda gg, v: spmm(gg, v))(g, xp)  # Graph as pytree arg
+    np.testing.assert_allclose(np.asarray(out)[: g.n_nodes], a @ x, rtol=1e-4, atol=1e-4)
