@@ -60,8 +60,8 @@ class PassFlags:
 
     operator_reordering: bool = True
     sparse_rewrites: bool = True
-    training_subgraph: bool = False
-    train_code_motion: bool = False
+    training_subgraph: bool = True
+    train_code_motion: bool = True
 
 
 @dataclasses.dataclass

@@ -147,6 +147,7 @@ class Program:
     associations: list = dataclasses.field(default_factory=list)
     transforms: list = dataclasses.field(default_factory=list)
     n_layers: int = 0
+    uses_training_subgraphs: bool = False
 
     def all_nodes(self) -> list[ComputeNode]:
         return [*self.pre, *(self.loop.nodes if self.loop else [])]

@@ -1,0 +1,152 @@
+"""IR interpretation: Program -> pure-JAX callables.
+
+This is the codegen stage.  Where the reference emits CUDA/libtorch text
+(reference: src/codegen/common.h `generateOpCode`, cuda.h kernel strings)
+that nvcc compiles, here each ComputeNode maps to a JAX op and **XLA is
+the compiler**: the returned `forward` is traced once under `jax.jit`,
+fused, and scheduled for the MXU — the role the reference's generated
+`gala.cu` plays.
+
+Contract (shared with gala_tpu.train.train):
+    init_params(rng, dim_env)            -> params pytree
+    invariant(graphs, x)                 -> carry (hoisted tensors)
+    forward(params, graphs, carry)       -> logits (n_pad, n_classes)
+
+The hoisted pre-loop section (training-invariant code motion product) is
+evaluated once per graph set; its outputs ride in `carry`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gala_tpu.ir.compute_ir import ComputeNode, ComputeOp, OpType, Program
+from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS, SYM_NODES
+from gala_tpu.models.common import linear, linear_init
+from gala_tpu.ops.edge import edge_softmax, leaky_relu, sddvv_add, sddvv_mul
+from gala_tpu.ops.graph import Graph
+from gala_tpu.ops.spmm import spmm, spmm_direct, spmm_ev
+
+
+def _resolve(dim: int, dim_env: dict[int, int]) -> int:
+    return dim_env.get(dim, dim) if dim < 0 else dim
+
+
+def param_specs(prog: Program) -> list[tuple[str, str, tuple[int, int], int]]:
+    """(kind, name, (rows, cols), layer) for every learned tensor."""
+    specs = []
+    seen = set()
+    for node in prog.all_nodes():
+        if node.op in (ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF):
+            w = node.inputs[1]
+            if w.name not in seen:
+                seen.add(w.name)
+                specs.append(("linear", w.name, (w.rows, w.cols), node.layer))
+        elif node.op is ComputeOp.SCALAR_ADD_EPS_MULTIPLY:
+            name = f"eps{node.layer + 1}"
+            if name not in seen:
+                seen.add(name)
+                specs.append(("eps", name, (1, 1), node.layer))
+    return specs
+
+
+def make_init_params(prog: Program):
+    specs = param_specs(prog)
+
+    def init_params(rng: jax.Array, dim_env: dict[int, int]):
+        params = {}
+        keys = jax.random.split(rng, max(len(specs), 1))
+        for key, (kind, name, (r, c), _layer) in zip(keys, specs):
+            if kind == "linear":
+                params[name] = linear_init(key, _resolve(r, dim_env), _resolve(c, dim_env))
+            else:
+                # learned epsilon, init 0 (torch registers eps=0 scalars)
+                params[name] = jnp.zeros((), jnp.float32)
+        return params
+
+    return init_params
+
+
+def _graph_for(node: ComputeNode, graphs) -> Graph:
+    li = node.layer
+    if 0 <= li < len(graphs):
+        return graphs[li]
+    return graphs[0]
+
+
+def _eval_node(node: ComputeNode, env, params, graphs):
+    ins = [env[d.uid] for d in node.inputs if d.uid in env]
+    op = node.op
+
+    if op is ComputeOp.ONES:
+        return jnp.ones((graphs[0].n_pad, 1), jnp.float32)
+    if op is ComputeOp.FULL:
+        return jnp.full((graphs[0].n_pad, 1), float(node.params[0]), jnp.float32)
+    if op is ComputeOp.AGGREGATE_MUL_SUM_DIRECT:
+        return spmm_direct(_graph_for(node, graphs), ins[0])
+    if op is ComputeOp.POWER:
+        p = float(node.params[0])
+        x = ins[0]
+        safe = jnp.where(x > 0, x, 1.0)
+        # detached, zero on padding rows (reference: pow(deg, v).detach())
+        return jax.lax.stop_gradient(jnp.where(x > 0, jnp.power(safe, p), 0.0))
+    if op is ComputeOp.ROW_BROADCAST:
+        return ins[0] * ins[1]
+    if op is ComputeOp.AGGREGATE_MUL_SUM:
+        g = _graph_for(node, graphs)
+        if len(node.inputs) >= 3:  # [feats, graph, edge_vals]
+            return spmm_ev(g, env[node.inputs[2].uid], ins[0])
+        return spmm(g, ins[0])
+    if op is ComputeOp.AGGREGATE_EDGE_SUM:
+        return sddvv_add(_graph_for(node, graphs), ins[0], ins[1])
+    if op is ComputeOp.AGGREGATE_EDGE_MUL:
+        g = _graph_for(node, graphs)
+        # structural vals mask padding (and carry weights when weighted)
+        return sddvv_mul(g, ins[0], ins[1]) * g.vals
+    if op is ComputeOp.SOFTMAX and node.op_type is OpType.UPDATE_EDGE:
+        return edge_softmax(_graph_for(node, graphs), ins[0])
+    if op is ComputeOp.LEAKY_RELU:
+        slope = float(node.params[0]) if node.params else 0.2
+        return leaky_relu(ins[0], slope)
+    if op is ComputeOp.RELU:
+        return jax.nn.relu(ins[0])
+    if op in (ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF):
+        w = node.inputs[1]
+        return linear(params[w.name], ins[0])
+    if op is ComputeOp.SCALAR_ADD_EPS_MULTIPLY:
+        return (1.0 + params[f"eps{node.layer + 1}"]) * ins[0]
+    if op is ComputeOp.ADD:
+        return ins[0] + ins[1]
+    if op is ComputeOp.MUL:
+        return ins[0] * ins[1]
+    raise NotImplementedError(f"lowering for op {op} not implemented")
+
+
+def make_forward(prog: Program):
+    """Build (invariant, forward) interpreters over the optimized IR."""
+    pre_nodes = [n for n in prog.pre if n.op is not ComputeOp.LOAD]
+    loop_nodes = prog.loop.nodes if prog.loop else []
+    feats_uid = None
+    for n in prog.pre:
+        if n.op is ComputeOp.LOAD:
+            feats_uid = n.outputs[0].uid
+
+    # the carry exports every pre-node output the loop actually reads
+    loop_reads = {d.uid for n in loop_nodes for d in n.inputs}
+
+    def invariant(graphs, x):
+        env = {feats_uid: x}
+        for node in pre_nodes:
+            env[node.outputs[0].uid] = _eval_node(node, env, {}, graphs)
+        return {u: v for u, v in env.items() if u in loop_reads or u == feats_uid}
+
+    def forward(params, graphs, carry):
+        env = dict(carry) if isinstance(carry, dict) else {feats_uid: carry}
+        out = None
+        for node in loop_nodes:
+            out = _eval_node(node, env, params, graphs)
+            env[node.outputs[0].uid] = out
+        return out
+
+    needs_invariant = bool(pre_nodes)
+    return invariant if needs_invariant else None, forward

@@ -1,0 +1,161 @@
+"""Lowering: ModelSpec -> optimized IR -> executable CompiledModel.
+
+The TPU-native equivalent of the reference driver pipeline
+(reference: tests/gala_train.cpp:65-151 — parse, input-aware schedule,
+generate_ir, 4 passes, CUDAGenerator::writeCode): same stages, but the
+"emitted program" is a jitted JAX training step instead of a gala.cu file.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from gala_tpu.data.csr import HostCSR
+from gala_tpu.data.datasets import load_dataset
+from gala_tpu.data.sampling import sample_graph_ab, sample_graph_random
+from gala_tpu.data.subgraph import mask_subgraphs
+from gala_tpu.dsl.spec import ModelSpec
+from gala_tpu.ir.build import generate_ir
+from gala_tpu.ir.compute_ir import Program
+from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS
+from gala_tpu.lowering.autoschedule import autoschedule
+from gala_tpu.lowering.interp import make_forward, make_init_params
+from gala_tpu.ops.graph import Graph
+from gala_tpu.passes.pipeline import run_passes
+from gala_tpu.train import TrainResult, train
+
+
+@dataclasses.dataclass
+class CompiledModel:
+    """A compiled GNN program bound to a dataset: the analog of the
+    reference's generated `./gala_model` executable."""
+
+    spec: ModelSpec
+    program: Program
+    full_graphs: list
+    train_graphs: list | None
+    x: jax.Array
+    labels: jax.Array
+    train_mask: jax.Array
+    test_mask: jax.Array
+    init_params: object
+    invariant: object
+    forward: object
+    n_classes: int
+
+    def make_params(self, seed: int = 0):
+        dim_env = {
+            SYM_FEATS: int(self.x.shape[1]),
+            SYM_CLASSES: self.n_classes,
+        }
+        return self.init_params(jax.random.key(seed), dim_env)
+
+    def train(self, iters: int | None = None, seed: int = 0, **kw) -> TrainResult:
+        params = self.make_params(seed)
+        loop = self.program.loop
+        return train(
+            self.forward,
+            params,
+            self.full_graphs,
+            self.x,
+            self.labels,
+            self.train_mask,
+            self.test_mask,
+            iters=iters if iters is not None else loop.iters,
+            valid_step=loop.valid_step or 5,
+            lr=loop.lr,
+            weight_decay=loop.weight_decay,
+            train_graphs=self.train_graphs,
+            invariant=self.invariant,
+            measure_memory=self.spec.print_memory,
+            **kw,
+        )
+
+    def run(self, iters: int | None = None) -> str:
+        """Train and print the reference's stdout CSV line."""
+        res = self.train(iters=iters)
+        return res.csv(self.spec.print_accuracy, self.spec.print_memory)
+
+
+def lower(
+    spec: ModelSpec,
+    mode: str = "train",
+    data=None,
+    data_root: str | None = None,
+    strategy: str = "auto",
+    scale: float = 1.0,
+    seed: int = 0,
+) -> CompiledModel:
+    """Compile a parsed spec into an executable model.
+
+    data: optional (HostCSR, feats, labels, masks) tuple; otherwise the
+    dataset named in the DSL is resolved via the registry.
+    mode: 'train' or 'inference' — selects the reference's driver pass
+    matrix (tests/gala_train.cpp vs gala_inference.cpp).
+    """
+    # ---- dataset ---------------------------------------------------- #
+    if data is None:
+        data = load_dataset(spec.dataset, data_root=data_root, scale=scale, seed=seed)
+    g_host, feats, labels, masks = data
+    n_classes = int(labels.max()) + 1
+
+    # ---- input-aware schedule (reference: gala_inference.cpp:84-131) - #
+    if spec.opt_input is not None:
+        autoschedule(spec, g_host, feats.shape[1], n_classes)
+    # the bound dataset always wins over declared sizes (the reference's
+    # declared FEAT_SIZE/LABEL_SIZE must match its npy export; here the
+    # loaded arrays are authoritative)
+    spec.graph.feat_size = int(feats.shape[1])
+    spec.graph.label_size = n_classes
+    if spec.output_sizes:
+        spec.output_sizes[-1] = n_classes
+
+    # ---- IR + middle-end passes ------------------------------------- #
+    prog = generate_ir(spec)
+    prog = run_passes(prog, spec, mode=mode)
+
+    # ---- data-level transformations --------------------------------- #
+    # data sampling (reference: inplace_sample_graph_ab, tiling.h:454)
+    if spec.graph.sample:
+        g_host = sample_graph_ab(g_host, int(spec.graph.sample))
+    # kernel-level static sampling lowers to the same fixed-degree edge
+    # list (see gala_tpu.data.sampling docstring)
+    elif spec.compute.sample:
+        g_host = sample_graph_ab(g_host, int(spec.compute.sample))
+
+    full_g = Graph.from_host(g_host, strategy=strategy, undirected=spec.graph.undirected)
+    n_layers = spec.num_layers
+    full_graphs = [full_g] * n_layers
+
+    train_graphs = None
+    if prog.uses_training_subgraphs:
+        subs = mask_subgraphs(g_host, masks["train"], n_layers)
+        train_graphs = [
+            Graph.from_host(s, strategy=full_g.strategy, undirected=False)
+            for s in subs
+        ]
+
+    x = full_g.pad_nodes(feats)
+    y = full_g.pad_nodes(labels)
+    tm = full_g.pad_nodes(masks["train"])
+    sm = full_g.pad_nodes(masks["test"])
+
+    invariant, forward = make_forward(prog)
+    init_params = make_init_params(prog)
+
+    return CompiledModel(
+        spec=spec,
+        program=prog,
+        full_graphs=full_graphs,
+        train_graphs=train_graphs,
+        x=x,
+        labels=y,
+        train_mask=tm,
+        test_mask=sm,
+        init_params=init_params,
+        invariant=invariant,
+        forward=forward,
+        n_classes=spec.graph.label_size if spec.graph.label_size > 0 else n_classes,
+    )
