@@ -1,0 +1,119 @@
+"""Benchmark entry point — prints ONE JSON line.
+
+Metric: full-graph GCN training throughput in edges/second (per-epoch
+aggregated edges / mean epoch time, the reference's timing protocol:
+mean over epochs after a 5-epoch warmup, reference:
+src/codegen/common.h:1494-1587).
+
+vs_baseline: ratio against a DGL-equivalent XLA baseline implementing the
+same model with naive (unfused, gather/scatter autodiff) ops — the
+stand-in for the reference's DGL comparison until real GALA numbers can
+be produced on shared hardware (the repo publishes none, BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _baseline_forward(params, a_indices, a_vals, n, x):
+    """DGL-style naive path: autodiff scatter/gather, no transpose-graph
+    routing, no invariant hoisting — what the reference baselines do."""
+    src, dst = a_indices
+    deg = jax.ops.segment_sum(jnp.ones_like(a_vals), dst, num_segments=n)
+    norm = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)[:, None]
+    h = x
+    for li, p in enumerate(params["fc"]):
+        h = norm * h
+        msg = a_vals[:, None] * h[src]
+        h = jax.ops.segment_sum(msg, dst, num_segments=n)
+        h = h @ p["w"] + p["b"]
+        h = norm * h
+        if li == 0:
+            h = jax.nn.relu(h)
+    return h
+
+
+def main():
+    import optax
+
+    from gala_tpu.data.datasets import load_dataset
+    from gala_tpu.dsl.parser import parse_source
+    from gala_tpu.lowering.lower import lower
+    from __graft_entry__ import GCN_DSL
+
+    # Arxiv-shaped graph (169k nodes, 1.17M edges, 128 feats, 40 classes)
+    data = load_dataset("Arxiv", scale=1.0)
+    g_host, feats, labels, masks = data
+    n_edges = g_host.n_edges
+    iters, warmup = 30, 5
+
+    # ---- gala_tpu compiled path ---------------------------------------- #
+    spec = parse_source(GCN_DSL)
+    cm = lower(spec, mode="train", data=data)
+    res = cm.train(iters=iters, warmup=warmup)
+    gala_epoch = res.total_time
+
+    # ---- naive baseline path ------------------------------------------- #
+    n = g_host.n_rows
+    src = jnp.asarray(g_host.src.astype(np.int32))
+    dst = jnp.asarray(g_host.dst.astype(np.int32))
+    vals = jnp.asarray(g_host.vals)
+    x = jnp.asarray(feats)
+    y = jnp.asarray(labels)
+    tm = jnp.asarray(masks["train"])
+    rng = jax.random.key(0)
+    k1, k2 = jax.random.split(rng)
+    f, h, c = feats.shape[1], 32, int(labels.max()) + 1
+    params = {
+        "fc": [
+            {"w": jax.random.uniform(k1, (f, h), jnp.float32, -1 / f**0.5, 1 / f**0.5),
+             "b": jnp.zeros((h,))},
+            {"w": jax.random.uniform(k2, (h, c), jnp.float32, -1 / h**0.5, 1 / h**0.5),
+             "b": jnp.zeros((c,))},
+        ]
+    }
+    tx = optax.chain(optax.add_decayed_weights(5e-4), optax.adam(0.01))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def base_step(params, opt_state):
+        def loss_fn(p):
+            logits = _baseline_forward(p, (src, dst), vals, n, x)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, y[:, None], 1)[:, 0]
+            m = tm.astype(jnp.float32)
+            return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        params, opt_state, loss = base_step(params, opt_state)
+        jax.block_until_ready(loss)
+        if i >= warmup:
+            times.append(time.perf_counter() - t0)
+    base_epoch = float(np.mean(times))
+
+    edges_per_s = n_edges / gala_epoch if gala_epoch > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "gcn_arxiv_train_edges_per_s",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(base_epoch / gala_epoch, 3) if gala_epoch else 0.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,12 +20,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gala_tpu.ir.compute_ir import ComputeNode, ComputeOp, OpType, Program
+from gala_tpu.ir.compute_ir import CompOpt, ComputeNode, ComputeOp, OpType, Program
 from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS, SYM_NODES
 from gala_tpu.models.common import linear, linear_init
 from gala_tpu.ops.edge import edge_softmax, leaky_relu, sddvv_add, sddvv_mul
 from gala_tpu.ops.graph import Graph
-from gala_tpu.ops.spmm import spmm, spmm_direct, spmm_ev
+from gala_tpu.ops.spmm import spmm, spmm_direct, spmm_ev, spmm_sampled
 
 
 def _resolve(dim: int, dim_env: dict[int, int]) -> int:
@@ -91,11 +91,18 @@ def _eval_node(node: ComputeNode, env, params, graphs):
         # detached, zero on padding rows (reference: pow(deg, v).detach())
         return jax.lax.stop_gradient(jnp.where(x > 0, jnp.power(safe, p), 0.0))
     if op is ComputeOp.ROW_BROADCAST:
-        return ins[0] * ins[1]
+        return ins[0].astype(ins[1].dtype) * ins[1]
     if op is ComputeOp.AGGREGATE_MUL_SUM:
         g = _graph_for(node, graphs)
         if len(node.inputs) >= 3:  # [feats, graph, edge_vals]
             return spmm_ev(g, env[node.inputs[2].uid], ins[0])
+        k_dyn = node.get_opt(CompOpt.SAMPLE_DYNAMIC)
+        if k_dyn:
+            # per-epoch (ra, rb) arrive through the carry; static kernel
+            # sampling was lowered to a data-level resample in lower()
+            ra = env.get("_ra", jnp.int32(5))
+            rb = env.get("_rb", jnp.int32(7))
+            return spmm_sampled(g, ins[0], int(k_dyn), ra, rb)
         return spmm(g, ins[0])
     if op is ComputeOp.AGGREGATE_EDGE_SUM:
         return sddvv_add(_graph_for(node, graphs), ins[0], ins[1])
@@ -148,5 +155,6 @@ def make_forward(prog: Program):
             env[node.outputs[0].uid] = out
         return out
 
-    needs_invariant = bool(pre_nodes)
-    return invariant if needs_invariant else None, forward
+    # always return the invariant fn so the loop carry is a dict — the
+    # per-epoch extras channel (_ra/_rb for dynamic sampling) rides in it
+    return invariant, forward

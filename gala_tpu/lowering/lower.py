@@ -55,6 +55,16 @@ class CompiledModel:
     def train(self, iters: int | None = None, seed: int = 0, **kw) -> TrainResult:
         params = self.make_params(seed)
         loop = self.program.loop
+        if self.spec.compute.sample_dynamic and "epoch_inputs" not in kw:
+            from gala_tpu.data.sampling import dynamic_sample_params
+
+            def epoch_inputs(epoch):
+                ra, rb = dynamic_sample_params(epoch, seed)
+                import jax.numpy as jnp
+
+                return {"_ra": jnp.int32(ra), "_rb": jnp.int32(rb)}
+
+            kw["epoch_inputs"] = epoch_inputs
         return train(
             self.forward,
             params,
@@ -87,6 +97,7 @@ def lower(
     strategy: str = "auto",
     scale: float = 1.0,
     seed: int = 0,
+    dtype=None,
 ) -> CompiledModel:
     """Compile a parsed spec into an executable model.
 
@@ -138,6 +149,10 @@ def lower(
         ]
 
     x = full_g.pad_nodes(feats)
+    if dtype is not None:
+        # mixed precision: bf16 activations double the TPU row-gather
+        # rate; params/loss stay f32 (see ops/spmm._ell_raw)
+        x = x.astype(dtype)
     y = full_g.pad_nodes(labels)
     tm = full_g.pad_nodes(masks["train"])
     sm = full_g.pad_nodes(masks["test"])

@@ -29,9 +29,14 @@ def linear_init(rng: jax.Array, d_in: int, d_out: int):
 
 
 def linear(p, x):
+    # params stay f32 masters; compute follows the activation dtype
+    # (bf16 mixed precision casts here, grads flow back to f32 via the
+    # astype transpose)
+    w = p["w"].astype(x.dtype)
+    b = p["b"].astype(x.dtype)
     return (
-        jnp.dot(x, p["w"], preferred_element_type=x.dtype, precision=MATMUL_PRECISION)
-        + p["b"]
+        jnp.dot(x, w, preferred_element_type=x.dtype, precision=MATMUL_PRECISION)
+        + b
     )
 
 

@@ -64,6 +64,18 @@ class Graph:
     t_perm: jax.Array       # (E_pad,) int32: forward edge id of transpose edge i
     a_dense: jax.Array | None   # (N_pad, C_pad) f32, only for 'dense'
     deg: jax.Array          # (N_pad, 1) f32 in-degrees (0 on padding)
+    row_ptr: jax.Array      # (n_pad+1,) int32 CSR offsets (device, for
+                            # dynamic in-kernel sampling)
+    t_row_ptr: jax.Array    # (c_pad+1,) int32 transpose offsets
+    # row-split ELL layout (strategy 'ell'; see gala_tpu.data.ell)
+    ell_cols: jax.Array | None      # (V, K) int32
+    ell_vals: jax.Array | None      # (V, K) f32
+    ell_vrow: jax.Array | None      # (V,) int32
+    ell_perm: jax.Array | None      # (V, K) int32 -> forward edge id
+    t_ell_cols: jax.Array | None
+    t_ell_vals: jax.Array | None
+    t_ell_vrow: jax.Array | None
+    t_ell_perm: jax.Array | None
 
     # --- static aux ---
     n_nodes: int            # real node count
@@ -81,6 +93,9 @@ class Graph:
             self.src, self.dst, self.vals,
             self.t_src, self.t_dst, self.t_vals, self.t_perm,
             self.a_dense, self.deg,
+            self.row_ptr, self.t_row_ptr,
+            self.ell_cols, self.ell_vals, self.ell_vrow, self.ell_perm,
+            self.t_ell_cols, self.t_ell_vals, self.t_ell_vrow, self.t_ell_perm,
         )
         aux = (
             self.n_nodes, self.n_cols, self.n_pad, self.c_pad,
@@ -108,7 +123,9 @@ class Graph:
         n_pad = _round_up(n + 1, NODE_PAD)
         c_pad = _round_up(c + 1, NODE_PAD)
         e_real = g.n_edges
-        e_pad = _round_up(max(e_real, 1), EDGE_PAD)
+        # always at least one padded (zero-val) edge: slot E_pad-1 is the
+        # safe sink for ELL padding permutation indices
+        e_pad = _round_up(e_real + 1, EDGE_PAD)
 
         if strategy == "auto":
             strategy = choose_strategy(n_pad, c_pad, e_real)
@@ -134,11 +151,38 @@ class Graph:
         deg_np = np.zeros((n_pad, 1), np.float32)
         deg_np[: n, 0] = np.bincount(g.dst, weights=None, minlength=n).astype(np.float32)
 
+        # device CSR offsets (padded rows are empty) for in-kernel sampling
+        row_ptr_np = np.full(n_pad + 1, e_real, np.int32)
+        row_ptr_np[: n + 1] = g.row_ptr.astype(np.int32)
+        t_counts = np.bincount(g.src, minlength=c)
+        t_row_ptr_np = np.full(c_pad + 1, e_real, np.int32)
+        t_row_ptr_np[0] = 0
+        t_row_ptr_np[1 : c + 1] = np.cumsum(t_counts).astype(np.int32)
+
         a_dense = None
         if strategy == "dense":
             d = np.zeros((n_pad, c_pad), np.float32)
             d[: n, : c] = densify(g)
             a_dense = jnp.asarray(d)
+
+        ell = t_ell = None
+        if strategy == "ell":
+            from gala_tpu.data.ell import build_ell
+
+            gt = host_transpose(g)
+            ell = build_ell(g, phantom_col=c, phantom_row=n, pad_edge_id=e_pad - 1)
+            # transpose slots map to *forward* edge ids so learned edge
+            # values permute straight into the backward layout
+            t_ell = build_ell(
+                gt, k=ell.k, phantom_col=n, phantom_row=c, pad_edge_id=e_pad - 1
+            )
+            # gt's edge j came from forward edge t_order[j] (coo_to_csr
+            # sorts by its dst — the forward src — with a stable sort)
+            t_order = np.argsort(g.src, kind="stable")
+            real = t_ell.perm != e_pad - 1
+            t_perm_vals = t_ell.perm.copy()
+            t_perm_vals[real] = t_order[t_ell.perm[real]]
+            t_ell = dataclasses.replace(t_ell, perm=t_perm_vals)
 
         return cls(
             src=jnp.asarray(src),
@@ -150,6 +194,16 @@ class Graph:
             t_perm=jnp.asarray(t_perm),
             a_dense=a_dense,
             deg=jnp.asarray(deg_np),
+            row_ptr=jnp.asarray(row_ptr_np),
+            t_row_ptr=jnp.asarray(t_row_ptr_np),
+            ell_cols=jnp.asarray(ell.cols) if ell else None,
+            ell_vals=jnp.asarray(ell.vals) if ell else None,
+            ell_vrow=jnp.asarray(ell.vrow) if ell else None,
+            ell_perm=jnp.asarray(ell.perm) if ell else None,
+            t_ell_cols=jnp.asarray(t_ell.cols) if t_ell else None,
+            t_ell_vals=jnp.asarray(t_ell.vals) if t_ell else None,
+            t_ell_vrow=jnp.asarray(t_ell.vrow) if t_ell else None,
+            t_ell_perm=jnp.asarray(t_ell.perm) if t_ell else None,
             n_nodes=n,
             n_cols=c,
             n_pad=n_pad,
@@ -179,11 +233,9 @@ def choose_strategy(n_pad: int, c_pad: int, e_real: int, feat_dim: int = 128) ->
 
     - Small graphs: densify; the MXU at ~100+ TFLOP/s beats any sparse
       path even at 1000x more FLOPs.
-    - Otherwise gather+segment_sum, scanned in chunks when the (E, F)
-      intermediate would not fit comfortably in HBM.
+    - Otherwise row-split ELL (gather + dense K-reduction + small
+      scatter; see gala_tpu.data.ell for the measured rationale).
     """
     if max(n_pad, c_pad) <= _DENSE_MAX_NODES:
         return "dense"
-    if e_real * feat_dim <= _SEGMENT_ONESHOT_LIMIT:
-        return "segment"
-    return "segment_scan"
+    return "ell"

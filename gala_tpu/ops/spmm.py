@@ -47,7 +47,7 @@ def _float0_like(x):
 # raw segment kernels (no autodiff)
 # --------------------------------------------------------------------------- #
 def _seg_oneshot(src, dst, vals, x, n_out):
-    msg = vals[:, None] * x[src]
+    msg = vals.astype(x.dtype)[:, None] * x[src]
     return jax.ops.segment_sum(msg, dst, num_segments=n_out, indices_are_sorted=True)
 
 
@@ -65,7 +65,7 @@ def _seg_scan(src, dst, vals, x, n_out):
 
     def body(acc, sdv):
         s, d, v = sdv
-        msg = v[:, None] * x[s]
+        msg = v.astype(x.dtype)[:, None] * x[s]
         acc = acc.at[d].add(msg, indices_are_sorted=True, unique_indices=False)
         return acc, None
 
@@ -76,6 +76,163 @@ def _seg_scan(src, dst, vals, x, n_out):
 
 def _seg_dispatch(src, dst, vals, x, n_out, scan: bool):
     return (_seg_scan if scan else _seg_oneshot)(src, dst, vals, x, n_out)
+
+
+# --------------------------------------------------------------------------- #
+# row-split ELL kernels (see gala_tpu.data.ell for the layout + rationale)
+# --------------------------------------------------------------------------- #
+def _ell_raw(cols, vals, vrow, x, n_out):
+    """partial[v] = sum_k vals[v,k] * x[cols[v,k]]; scatter V rows only.
+
+    Gathers happen at x's dtype (bf16 features double the row-gather
+    rate); the K-reduction accumulates in f32."""
+    gathered = x[cols]                                   # (V, K, F) gather
+    partial = jnp.einsum(
+        "vk,vkf->vf", vals.astype(x.dtype), gathered,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return jax.ops.segment_sum(
+        partial, vrow, num_segments=n_out, indices_are_sorted=True
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_ell(n_out, c_out, cols, vals, vrow, t_cols, t_vals, t_vrow, x):
+    return _ell_raw(cols, vals, vrow, x, n_out)
+
+
+def _spmm_ell_fwd(n_out, c_out, cols, vals, vrow, t_cols, t_vals, t_vrow, x):
+    out = _ell_raw(cols, vals, vrow, x, n_out)
+    return out, (t_cols, t_vals, t_vrow)
+
+
+def _spmm_ell_bwd(n_out, c_out, res, dz):
+    t_cols, t_vals, t_vrow = res
+    dx = _ell_raw(t_cols, t_vals, t_vrow, dz, c_out)
+    return (
+        _float0_like(t_cols), jnp.zeros_like(t_vals), _float0_like(t_vrow),
+        _float0_like(t_cols), jnp.zeros_like(t_vals), _float0_like(t_vrow),
+        dx,
+    )
+
+
+# bwd returns cotangents for (cols, vals, vrow, t_cols, t_vals, t_vrow, x);
+# shapes of cols/t_cols etc. are identical so reusing residuals is safe
+_spmm_ell.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)
+
+
+def _ev_slots(evals, perm, mask):
+    """Scatter per-edge values into ELL slots (padding slots -> 0)."""
+    return evals[perm] * mask
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_ev_ell(
+    n_out, c_out,
+    cols, vrow, perm, mask,
+    t_cols, t_vrow, t_perm, t_mask,
+    src, dst, evals, x,
+):
+    return _ell_raw(cols, _ev_slots(evals, perm, mask), vrow, x, n_out)
+
+
+def _spmm_ev_ell_fwd(
+    n_out, c_out,
+    cols, vrow, perm, mask,
+    t_cols, t_vrow, t_perm, t_mask,
+    src, dst, evals, x,
+):
+    out = _ell_raw(cols, _ev_slots(evals, perm, mask), vrow, x, n_out)
+    return out, (t_cols, t_vrow, t_perm, t_mask, src, dst, evals, x)
+
+
+def _spmm_ev_ell_bwd(n_out, c_out, res, dz):
+    t_cols, t_vrow, t_perm, t_mask, src, dst, evals, x = res
+    dx = _ell_raw(t_cols, _ev_slots(evals, t_perm, t_mask), t_vrow, dz, c_out)
+    devals = jnp.sum(dz[dst] * x[src], axis=-1)
+    z = _float0_like
+    return (
+        z(t_cols), z(t_vrow), z(t_perm), jnp.zeros_like(t_mask),
+        z(t_cols), z(t_vrow), z(t_perm), jnp.zeros_like(t_mask),
+        z(src), z(dst), devals, dx,
+    )
+
+
+_spmm_ev_ell.defvjp(_spmm_ev_ell_fwd, _spmm_ev_ell_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# dynamic in-kernel neighbor sampling
+# --------------------------------------------------------------------------- #
+def _sampled_ell(row_ptr, src, deg, k, ra, rb):
+    """Build a fixed-K sampled ELL *on device*: slot j of row r reads
+    neighbor (ra*j + rb) %% deg[r] — the reference's in-kernel LCG
+    sampling formula (reference: src/codegen/cuda.h:313-320), realized as
+    an index transform so the aggregation itself is a regular fixed-K
+    gather (an ELL, the shape TPUs want).  Fresh (ra, rb) per epoch gives
+    the `dynamic` mode (reference: src/codegen/common.h:822-833)."""
+    n = row_ptr.shape[0] - 1
+    d = deg[:, 0].astype(jnp.int32)
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]
+    off = (ra * j + rb) % jnp.maximum(d[:, None], 1)
+    # rows with deg < k sample with repetition, like the reference kernel
+    idx = row_ptr[:-1, None] + off
+    cols = src[idx]
+    vals = jnp.where(d[:, None] > 0, 1.0, 0.0).astype(jnp.float32)
+    return cols, vals
+
+
+def _dyn_raw(row_ptr, src, deg, x, k, ra, rb, scale):
+    cols, vals = _sampled_ell(row_ptr, src, deg, k, ra, rb)
+    gathered = x[cols]
+    out = jnp.einsum(
+        "vk,vkf->vf", (vals * scale).astype(x.dtype), gathered,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_dyn(k, row_ptr, src, deg, t_row_ptr, t_src, t_deg, ra, rb, x):
+    return _dyn_raw(row_ptr, src, deg, x, k, ra, rb, 1.0)
+
+
+def _spmm_dyn_fwd(k, row_ptr, src, deg, t_row_ptr, t_src, t_deg, ra, rb, x):
+    out = _dyn_raw(row_ptr, src, deg, x, k, ra, rb, 1.0)
+    return out, (t_row_ptr, t_src, t_deg, ra, rb)
+
+
+def _spmm_dyn_bwd(k, res, dz):
+    t_row_ptr, t_src, t_deg, ra, rb = res
+    # sampled transpose with the same (ra, rb) — the reference applies
+    # the identical sampling formula to its backward (2*layer+1) kernels,
+    # an accepted stochastic-gradient approximation
+    dx = _dyn_raw(t_row_ptr, t_src, t_deg, dz, k, ra, rb, 1.0)
+    z = _float0_like
+    return (
+        z(t_row_ptr), z(t_src), jnp.zeros_like(t_deg),
+        z(t_row_ptr), z(t_src), jnp.zeros_like(t_deg),
+        z(jnp.int32(0)), z(jnp.int32(0)), dx,
+    )
+
+
+_spmm_dyn.defvjp(_spmm_dyn_fwd, _spmm_dyn_bwd)
+
+
+def spmm_sampled(g: Graph, x: jax.Array, k: int, ra, rb) -> jax.Array:
+    """Aggregation over k dynamically sampled neighbors per node.
+
+    (ra, rb) are int32 scalars (fresh per epoch for dynamic mode, fixed
+    5/7 for static kernel sampling parity with
+    reference: src/ops/tiling.h:454).
+    """
+    t_deg = jnp.diff(g.t_row_ptr).astype(jnp.float32)[:, None]
+    return _spmm_dyn(
+        int(k),
+        g.row_ptr, g.src, g.deg,
+        g.t_row_ptr, g.t_src, t_deg,
+        jnp.asarray(ra, jnp.int32), jnp.asarray(rb, jnp.int32), x,
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -150,6 +307,12 @@ def spmm(g: Graph, x: jax.Array) -> jax.Array:
             preferred_element_type=x.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
+    if g.strategy == "ell":
+        return _spmm_ell(
+            g.n_pad, g.c_pad,
+            g.ell_cols, g.ell_vals, g.ell_vrow,
+            g.t_ell_cols, g.t_ell_vals, g.t_ell_vrow, x,
+        )
     scan = g.strategy == "segment_scan"
     return _spmm_seg(
         g.n_pad, g.c_pad, scan,
@@ -171,6 +334,15 @@ def spmm_ev(g: Graph, vals: jax.Array, x: jax.Array) -> jax.Array:
             a, x,
             preferred_element_type=x.dtype,
             precision=jax.lax.Precision.HIGHEST,
+        )
+    if g.strategy == "ell":
+        mask = (g.ell_perm != g.e_pad - 1).astype(x.dtype)
+        t_mask = (g.t_ell_perm != g.e_pad - 1).astype(x.dtype)
+        return _spmm_ev_ell(
+            g.n_pad, g.c_pad,
+            g.ell_cols, g.ell_vrow, g.ell_perm, mask,
+            g.t_ell_cols, g.t_ell_vrow, g.t_ell_perm, t_mask,
+            g.src, g.dst, vals, x,
         )
     scan = g.strategy == "segment_scan"
     return _spmm_ev_seg(

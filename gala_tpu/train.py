@@ -33,7 +33,7 @@ from gala_tpu.ops.graph import Graph
 
 def masked_cross_entropy(logits: jax.Array, labels: jax.Array, mask: jax.Array):
     """Mean CE over mask rows (mask includes padding=False rows)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     m = mask.astype(logits.dtype)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -101,6 +101,7 @@ def train(
     train_graphs: Sequence[Graph] | None = None,
     invariant: Callable | None = None,
     measure_memory: bool = False,
+    epoch_inputs: Callable | None = None,
 ) -> TrainResult:
     """Run the full training protocol and return timing/accuracy stats.
 
@@ -125,62 +126,68 @@ def train(
     else:
         x_train = x_full = x
 
-    @jax.jit
-    def fwd_full(params):
-        return forward(params, full_graphs, x_full)
-
     use_sub = train_graphs is not None
 
+    def _with_extra(carry, extra):
+        if extra and isinstance(carry, dict):
+            return {**carry, **extra}
+        return carry
+
     @jax.jit
-    def fwd_train(params):
+    def fwd_full(params, extra):
+        return forward(params, full_graphs, _with_extra(x_full, extra))
+
+    @jax.jit
+    def fwd_train(params, extra):
         gs = train_graphs if use_sub else full_graphs
-        return forward(params, gs, x_train if use_sub else x_full)
+        return forward(params, gs, _with_extra(x_train if use_sub else x_full, extra))
 
-    def loss_fn(params, training: bool):
-        logits = fwd_train(params) if training else fwd_full(params)
-        return masked_cross_entropy(logits, labels, train_mask)
+    def _step(fwd):
+        def step(params, opt_state, extra):
+            def loss_fn(p):
+                return masked_cross_entropy(fwd(p, extra), labels, train_mask)
 
-    @jax.jit
-    def step_train(params, opt_state):
-        loss, grads = jax.value_and_grad(lambda p: loss_fn(p, True))(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
 
-    @jax.jit
-    def step_full(params, opt_state):
-        loss, grads = jax.value_and_grad(lambda p: loss_fn(p, False))(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return jax.jit(step)
+
+    step_train = _step(fwd_train)
+    step_full = _step(fwd_full)
 
     @jax.jit
-    def test_acc(params):
-        return masked_accuracy(fwd_full(params), labels, test_mask)
+    def test_acc(params, extra):
+        return masked_accuracy(fwd_full(params, extra), labels, test_mask)
 
     fwd_times, tot_times, losses, accs = [], [], [], []
     mem_mb = 0.0
     for epoch in range(iters):
         is_valid = valid_step > 0 and (epoch % valid_step == 0)
+        extra = epoch_inputs(epoch) if epoch_inputs else {}
         # timed forward (inference time)
         t0 = time.perf_counter()
-        logits = (fwd_full if is_valid else fwd_train)(params)
+        logits = (fwd_full if is_valid else fwd_train)(params, extra)
         jax.block_until_ready(logits)
         t1 = time.perf_counter()
         # full step (re-runs forward inside grad, matching the reference's
         # fwd-then-backward bracket structure)
         params, opt_state, loss = (step_full if is_valid else step_train)(
-            params, opt_state
+            params, opt_state, extra
         )
         jax.block_until_ready(loss)
         t2 = time.perf_counter()
 
         if epoch >= warmup:
             fwd_times.append(t1 - t0)
-            tot_times.append(t2 - t0)
+            # the jitted step already contains one forward + backward +
+            # update, exactly the reference's fwd..step bracket — the
+            # separately timed forward above is measurement/validation
+            # only, so it must not be double counted
+            tot_times.append(t2 - t1)
         losses.append(float(loss))
         if is_valid:
-            accs.append(float(test_acc(params)))
+            accs.append(float(test_acc(params, extra)))
         if measure_memory and epoch == warmup:
             mem_mb = device_memory_mb()
 

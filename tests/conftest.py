@@ -9,7 +9,15 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize registers the TPU platform at interpreter start,
+# before this file runs, so env vars alone can't deselect it; the config
+# update below wins as long as it happens before the first jax op.
+os.environ["JAX_PLATFORMS"] = ""
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,106 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+The reference has no distributed execution to test (SURVEY.md §4 item 6);
+these validate the SPMD layer: sharded aggregation == dense reference,
+sharded training step runs and converges, DP x TP mesh shapes compile.
+"""
+import jax
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gala_tpu.data.csr import densify
+from gala_tpu.parallel.graph import ShardedGraph
+from gala_tpu.parallel.mesh import make_mesh
+from gala_tpu.parallel.train import make_sharded_train_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def sharded_setup(small_dataset):
+    g_host, feats, labels, masks = small_dataset
+    mesh = make_mesh(8, model_axis=2)
+    sg = ShardedGraph.from_host(g_host, n_shards=mesh.shape["data"])
+    ns = NamedSharding(mesh, P("data"))
+    put = lambda a: jax.device_put(a, ns)
+    x = put(sg.pad_nodes(feats))
+    y = put(sg.pad_nodes(labels))
+    tm = put(sg.pad_nodes(masks["train"]))
+    sm = np.asarray(sg.pad_nodes(masks["test"])).astype(bool)
+    sg = jtu.tree_map(put, sg)
+    return mesh, sg, x, y, tm, sm, g_host, feats, labels
+
+
+def test_sharded_graph_layout(small_dataset):
+    g_host, *_ = small_dataset
+    sg = ShardedGraph.from_host(g_host, n_shards=4)
+    assert sg.n_pad == sg.rows_per_shard * 4
+    src = np.asarray(sg.src).reshape(4, -1)
+    dstl = np.asarray(sg.dst_local).reshape(4, -1)
+    vals = np.asarray(sg.vals).reshape(4, -1)
+    # every real edge's global dst belongs to its shard's row range
+    for s in range(4):
+        real = vals[s] != 0
+        assert np.all(dstl[s][real] < sg.rows_per_shard)
+        assert np.all(dstl[s][~real] == sg.rows_per_shard)  # phantom
+    assert int((vals != 0).sum()) == g_host.n_edges
+
+
+def test_sharded_forward_matches_dense(sharded_setup):
+    mesh, sg, x, y, tm, sm, g_host, feats, labels = sharded_setup
+    from gala_tpu.models import gcn
+    from gala_tpu.ops.graph import Graph
+
+    params, opt_state, step, fwd = make_sharded_train_step(mesh, sg, 24, 16, 5)
+    logits = np.asarray(fwd(params, x))[: g_host.n_rows]
+
+    g1 = Graph.from_host(g_host, strategy="dense")
+    hand = {
+        "fc": [
+            {"w": np.asarray(params["w1"]), "b": np.asarray(params["b1"])},
+            {"w": np.asarray(params["w2"]), "b": np.asarray(params["b2"])},
+        ]
+    }
+    ref = np.asarray(gcn.forward(hand, [g1, g1], g1.pad_nodes(feats)))[: g_host.n_rows]
+    np.testing.assert_allclose(logits, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_training_converges(sharded_setup):
+    mesh, sg, x, y, tm, sm, g_host, feats, labels = sharded_setup
+    params, opt_state, step, fwd = make_sharded_train_step(mesh, sg, 24, 16, 5)
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state, x, y, tm)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+    pred = np.asarray(fwd(params, x)).argmax(-1)
+    yn = np.asarray(y)
+    acc = (pred[sm] == yn[sm]).mean()
+    assert acc > 0.8
+
+
+@pytest.mark.parametrize("n,model_axis", [(8, 1), (8, 2), (4, 2), (2, 1)])
+def test_mesh_shapes_compile(n, model_axis, small_dataset):
+    import __graft_entry__ as ge
+
+    # dryrun covers DP-only, DPxTP, and small meshes end to end
+    if model_axis == 1:
+        ge.dryrun_multichip(n)
+    else:
+        g_host, feats, labels, masks = small_dataset
+        mesh = make_mesh(n, model_axis=model_axis)
+        sg = ShardedGraph.from_host(g_host, n_shards=mesh.shape["data"])
+        ns = NamedSharding(mesh, P("data"))
+        x = jax.device_put(sg.pad_nodes(feats), ns)
+        y = jax.device_put(sg.pad_nodes(labels), ns)
+        tm = jax.device_put(sg.pad_nodes(masks["train"]), ns)
+        sg = jtu.tree_map(lambda a: jax.device_put(a, ns), sg)
+        params, opt_state, step, fwd = make_sharded_train_step(
+            mesh, sg, 24, 8 * model_axis, 5
+        )
+        params, opt_state, loss = step(params, opt_state, x, y, tm)
+        assert np.isfinite(float(loss))

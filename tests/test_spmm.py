@@ -10,7 +10,7 @@ from gala_tpu.data.csr import densify
 from gala_tpu.ops.graph import Graph, choose_strategy
 from gala_tpu.ops.spmm import spmm, spmm_direct, spmm_ev
 
-STRATEGIES = ["dense", "segment", "segment_scan"]
+STRATEGIES = ["dense", "segment", "segment_scan", "ell"]
 
 
 @pytest.fixture(scope="module", params=STRATEGIES)
@@ -76,8 +76,24 @@ def test_degrees_match(graph_and_dense):
 
 def test_strategy_heuristic():
     assert choose_strategy(1000, 1000, 5000) == "dense"
-    assert choose_strategy(10**6, 10**6, 10**5) == "segment"
-    assert choose_strategy(10**6, 10**6, 10**9) == "segment_scan"
+    assert choose_strategy(10**6, 10**6, 10**5) == "ell"
+    assert choose_strategy(10**6, 10**6, 10**9) == "ell"
+
+
+def test_ell_layout(small_dataset):
+    from gala_tpu.data.ell import build_ell, inflation
+
+    g_host, *_ = small_dataset
+    ell = build_ell(g_host)
+    # every edge appears exactly once across slots
+    import numpy as np
+
+    real = ell.vals != 0
+    assert int(real.sum()) == g_host.n_edges
+    assert inflation(ell, g_host.n_edges) < 4.0
+    # vrow sorted ascending then phantom
+    v = ell.n_virtual
+    assert np.all(np.diff(ell.vrow[:v]) >= 0)
 
 
 def test_spmm_under_jit(graph_and_dense):
