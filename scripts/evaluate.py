@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Evaluation harness: the reference's figure/table jobs on TPU.
+
+Mirrors scripts/Evaluations/*.py of the reference (Figures-16-17, 18, 19,
+20, Tables 5-7) with the same CSV row schema so downstream analysis
+ports: each run appends `dataset,model,<numbers>` rows to stat_<job>.csv.
+
+Jobs:
+  fig16   inference+training time, 4 models x datasets
+  fig18   scalability: layers {2,3,4,8} x hidden {32..1024}, GCN
+  fig19   memory vs time (print_memory mode)
+  fig20   input-aware (opt_input) vs hand-tuned schedules
+  table6  graph-size scaling (scale fractions of Products)
+  table7  sampling modes {data, kernel, dynamic, none} + accuracy
+
+Usage: python scripts/evaluate.py --job fig16 --scale 0.05 --iters 30
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MODELS = ["gcn", "gat", "gin", "sage"]
+DATASETS = ["Cora", "Pubmed", "Arxiv", "Reddit"]
+
+GCN_BODY = """
+aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);
+L1 = layer(G, hs, nonln_fn, aggregate_fn) {
+    deg = G.graphs.degrees();
+    norm = dsl.fn.pow(deg, -0.5);
+    res = norm * G.node.feats;
+    res = aggregate_fn(G.graphs, res);
+    res = dsl.nn.ffn(res, out=hs);
+    res = norm * res;
+    G.node.feats = nonln_fn(res);
+}
+"""
+GAT_BODY = """
+aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);
+edgeFn = dsl.get_edge_aggregate(fn = dsl.fn.sum);
+L1 = layer(G, hs, nonln_fn, aggregate_fn, edge_fn) {
+    res = dsl.nn.ffn(G.node.feats, out=hs);
+    attnL = dsl.nn.ffn(res, out=1);
+    attnR = dsl.nn.ffn(res, out=1);
+    attn = edge_fn(G, attnL, attnR);
+    G.edges.vals = dsl.fn.softmax(G, attn);
+    res = aggregate_fn(G.graphs, res);
+    G.node.feats = nonln_fn(res);
+}
+"""
+GIN_BODY = """
+aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);
+L1 = layer(G, hs, nonln_fn, aggregate_fn) {
+    res_n = aggregate_fn(G.graphs, G.node.feats);
+    res = dsl.nn.scalar(1) * G.node.feats;
+    res = res + res_n;
+    res = dsl.nn.ffn(res, out=hs);
+    G.node.feats = nonln_fn(res);
+}
+"""
+SAGE_BODY = """
+aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_mean);
+L1 = layer(G, hs, nonln_fn, aggregate_fn) {
+    res_n = aggregate_fn(G.graphs, G.node.feats);
+    res = dsl.nn.ffn(res_n, out=hs) + dsl.nn.ffn(res, out=hs);
+    G.node.feats = nonln_fn(res);
+}
+"""
+BODIES = {"gcn": GCN_BODY, "gat": GAT_BODY, "gin": GIN_BODY, "sage": SAGE_BODY}
+
+
+def make_dsl(model: str, dataset: str, layers=2, hidden=32, iters=100,
+             schedule: str = "") -> str:
+    body = BODIES[model]
+    inits = []
+    for i in range(layers):
+        size = str(hidden) if i < layers - 1 else "G.labels.size()"
+        nonln = "non_ln" if i < layers - 1 else "null"
+        extra = ", edgeFn" if model == "gat" else ""
+        inits.append(f"\tl{i+1} = L1(G, {size}, {nonln}, aggrFn{extra});")
+    return (
+        f'G = load_dataset("{dataset}");\n{body}\n'
+        "M1 = model(G, non_ln) {\n" + "\n".join(inits) + "\n}\n"
+        "m1 = M1(G, dsl.non_ln.ReLU);\n"
+        f"m1.train(iters={iters}, validation_step=5);\n"
+        "res = m1.eval();\n# schedule\n" + schedule
+    )
+
+
+def run_one(src: str, mode="train", iters=30, data=None, scale=1.0, **low_kw):
+    import gala_tpu
+
+    cm = gala_tpu.compile_source(src, mode=mode, data=data, scale=scale, **low_kw)
+    res = cm.train(iters=iters)
+    return cm, res
+
+
+def append_csv(path: str, header: str, row: str):
+    new = not os.path.exists(path)
+    with open(path, "a") as f:
+        if new:
+            f.write(header + "\n")
+        f.write(row + "\n")
+    print(row)
+
+
+def job_fig16(args):
+    out = os.path.join(args.outdir, "stat_fig16.csv")
+    for dataset in args.datasets:
+        for model in MODELS:
+            src = make_dsl(model, dataset, iters=args.iters)
+            cm, res = run_one(src, iters=args.iters, scale=args.scale)
+            append_csv(
+                out, "dataset,model,inference_time,total_time,accuracy",
+                f"{dataset},{model},{res.inference_time},{res.total_time},{res.max_accuracy}",
+            )
+
+
+def job_fig18(args):
+    out = os.path.join(args.outdir, "stat_fig18.csv")
+    for layers in [2, 3, 4, 8]:
+        for hidden in [32, 64, 128, 256, 512, 1024]:
+            src = make_dsl("gcn", args.datasets[0], layers=layers, hidden=hidden)
+            cm, res = run_one(src, iters=args.iters, scale=args.scale)
+            append_csv(
+                out, "dataset,layers,hidden,inference_time,total_time",
+                f"{args.datasets[0]},{layers},{hidden},{res.inference_time},{res.total_time}",
+            )
+
+
+def job_fig19(args):
+    out = os.path.join(args.outdir, "stat_fig19.csv")
+    for label, sched in [("time", ""), ("memory", "training_subgraph(false);\ntrain_code_motion(false);\n")]:
+        src = make_dsl("gcn", args.datasets[0], schedule=sched + "print_memory(true);\n")
+        cm, res = run_one(src, iters=args.iters, scale=args.scale)
+        append_csv(
+            out, "dataset,variant,memory_mb,inference_time,total_time",
+            f"{args.datasets[0]},{label},{res.memory_mb},{res.inference_time},{res.total_time}",
+        )
+
+
+def job_fig20(args):
+    out = os.path.join(args.outdir, "stat_fig20.csv")
+    for dataset in args.datasets:
+        hand = make_dsl("gcn", dataset)
+        auto = make_dsl("gcn", dataset, schedule=f'G=G.opt_input("{dataset}");\n')
+        for label, src in [("hand", hand), ("auto", auto)]:
+            cm, res = run_one(src, iters=args.iters, scale=args.scale)
+            append_csv(
+                out, "dataset,schedule,inference_time,total_time",
+                f"{dataset},{label},{res.inference_time},{res.total_time}",
+            )
+
+
+def job_table6(args):
+    out = os.path.join(args.outdir, "stat_table6.csv")
+    for frac in [0.01, 0.02, 0.05, 0.1, 0.2]:
+        src = make_dsl("gcn", "Products")
+        cm, res = run_one(src, iters=args.iters, scale=frac * args.scale)
+        append_csv(
+            out, "dataset,fraction,inference_time,total_time",
+            f"Products,{frac},{res.inference_time},{res.total_time}",
+        )
+
+
+def job_table7(args):
+    out = os.path.join(args.outdir, "stat_table7.csv")
+    modes = {
+        "none": "",
+        "data": "G=G.sample(20);\n",
+        "kernel": "aggrFn=aggrFn.sample(20);\n",
+        "dynamic": "aggrFn=aggrFn.sample(20).dynamic();\n",
+    }
+    for label, sched in modes.items():
+        src = make_dsl("gcn", args.datasets[0], schedule=sched + "print_accuracy(true);\n")
+        cm, res = run_one(src, iters=args.iters, scale=args.scale)
+        append_csv(
+            out, "dataset,sampling,inference_time,accuracy",
+            f"{args.datasets[0]},{label},{res.inference_time},{res.max_accuracy}",
+        )
+
+
+JOBS = {
+    "fig16": job_fig16,
+    "fig18": job_fig18,
+    "fig19": job_fig19,
+    "fig20": job_fig20,
+    "table6": job_table6,
+    "table7": job_table7,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--job", choices=sorted(JOBS), required=True)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="dataset scale fraction (synthetic stand-ins)")
+    ap.add_argument("--datasets", nargs="+", default=DATASETS)
+    ap.add_argument("--outdir", default="results")
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+    JOBS[args.job](args)
+
+
+if __name__ == "__main__":
+    main()

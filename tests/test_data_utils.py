@@ -1,0 +1,145 @@
+"""Tests for data-layer utilities: reordering, mtx IO, GALA npy IO,
+sampling, subgraphs, stats, checkpointing."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from gala_tpu.data.csr import densify
+from gala_tpu.data.io import load_gala_npy, save_gala_npy
+from gala_tpu.data.mtx import read_mtx, write_mtx
+from gala_tpu.data.reordering import apply_reorder, bfs_order, degree_order
+from gala_tpu.data.sampling import sample_graph_ab, sample_graph_random
+from gala_tpu.data.subgraph import mask_subgraphs
+from gala_tpu.utils.stats import MtxStats, approx_range, degree_entropy
+
+
+def test_reorder_is_similarity_transform(small_dataset):
+    g, feats, labels, masks = small_dataset
+    perm = degree_order(g)
+    g2, f2, l2, m2, inv = apply_reorder(g, perm, feats, labels, masks)
+    np.testing.assert_allclose(densify(g2), densify(g)[np.ix_(perm, perm)])
+    assert np.all(l2 == labels[perm])
+    assert np.all(inv[perm] == np.arange(g.n_rows))
+
+
+def test_bfs_order_is_permutation(small_dataset):
+    g, *_ = small_dataset
+    order = bfs_order(g)
+    assert sorted(order.tolist()) == list(range(g.n_rows))
+
+
+def test_mtx_roundtrip(small_dataset):
+    g, *_ = small_dataset
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "g.mtx")
+        write_mtx(p, g)
+        g2 = read_mtx(p)
+        np.testing.assert_allclose(densify(g2), densify(g))
+
+
+def test_gala_npy_roundtrip(small_dataset):
+    g, feats, labels, masks = small_dataset
+    with tempfile.TemporaryDirectory() as d:
+        save_gala_npy(d, g, feats, labels, masks)
+        g2, f2, l2, m2 = load_gala_npy(d)
+        assert g2.n_rows == g.n_rows and g2.n_edges == g.n_edges
+        np.testing.assert_allclose(densify(g2), densify(g))
+        np.testing.assert_allclose(f2, feats)
+        assert np.all(l2 == labels)
+        assert np.all(m2["train"] == masks["train"])
+
+
+def test_sampling_caps_degree(small_dataset):
+    g, *_ = small_dataset
+    for sampler in (sample_graph_random, sample_graph_ab):
+        gs = sampler(g, 4)
+        assert gs.degrees.max() <= 4
+        assert gs.n_edges <= g.n_edges
+
+
+def test_sample_ab_deterministic(small_dataset):
+    g, *_ = small_dataset
+    a = sample_graph_ab(g, 5)
+    b = sample_graph_ab(g, 5)
+    assert np.array_equal(a.src, b.src) and np.array_equal(a.dst, b.dst)
+
+
+def test_mask_subgraphs_structure(small_dataset):
+    g, feats, labels, masks = small_dataset
+    subs = mask_subgraphs(g, masks["train"], 2)
+    assert len(subs) == 2
+    # last layer keeps exactly the edges into masked nodes
+    keep = masks["train"][g.dst]
+    assert subs[1].n_edges == int(keep.sum())
+    # earlier layers keep at least as many edges (grown mask)
+    assert subs[0].n_edges >= subs[1].n_edges
+    # every edge of layer-1's subgraph reaches the mask within 2 hops
+    assert subs[0].n_edges <= g.n_edges
+
+
+def test_stats(small_dataset):
+    g, *_ = small_dataset
+    s = MtxStats.of(g)
+    assert s.n_edges == g.n_edges
+    assert s.mean_degree == pytest.approx(g.n_edges / g.n_rows)
+    assert degree_entropy(g, frac=1.0) > 0
+    r = approx_range(g, n_tiles=4)
+    assert r.shape == (4, 2)
+
+
+def test_checkpoint_roundtrip():
+    import jax.numpy as jnp
+
+    from gala_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": [jnp.ones(4)]}
+    with tempfile.TemporaryDirectory() as d:
+        p = save_checkpoint(os.path.join(d, "ckpt"), params, step=3)
+        back = load_checkpoint(p, like={"params": params, "step": 0})
+        np.testing.assert_allclose(np.asarray(back["params"]["w"]),
+                                   np.asarray(params["w"]))
+
+
+def test_dynamic_sampled_spmm(small_dataset):
+    import jax
+    import jax.numpy as jnp
+
+    from gala_tpu.ops.graph import Graph
+    from gala_tpu.ops.spmm import spmm_sampled
+
+    g_host, feats, *_ = small_dataset
+    g = Graph.from_host(g_host, strategy="ell")
+    x = g.pad_nodes(feats)
+    out = spmm_sampled(g, x, k=4, ra=5, rb=7)
+    assert out.shape[0] == g.n_pad
+    assert np.all(np.isfinite(np.asarray(out)))
+    # deterministic given (ra, rb)
+    out2 = spmm_sampled(g, x, k=4, ra=5, rb=7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+    # differentiable
+    grad = jax.grad(lambda v: jnp.sum(spmm_sampled(g, v, 4, 5, 7)))(x)
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_multihead_gat(small_dataset):
+    import functools
+
+    import jax
+
+    from gala_tpu.models import gat
+    from gala_tpu.ops.graph import Graph
+    from gala_tpu.train import train
+
+    g_host, feats, labels, masks = small_dataset
+    g = Graph.from_host(g_host, strategy="segment")
+    x = g.pad_nodes(feats)
+    params = gat.init(jax.random.key(0), x.shape[1], [8], 5, n_heads=4)
+    fwd = functools.partial(gat.forward, n_heads=4)
+    res = train(
+        fwd, params, [g, g], x, g.pad_nodes(labels),
+        g.pad_nodes(masks["train"]), g.pad_nodes(masks["test"]),
+        iters=40, warmup=2,
+    )
+    assert res.max_accuracy > 0.75
