@@ -62,6 +62,19 @@ def coo_to_csr(
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     e = src.shape[0]
+
+    # OpenMP counting sort for large graphs (reference: csrc_matrix.h:148)
+    if e > 1_000_000 and n_rows < 2**31 and n_cols < 2**31:
+        from gala_tpu import native
+
+        res = native.coo_to_csr_native(src, dst, vals, n_rows)
+        if res is not None:
+            row_ptr, out_src, out_dst, out_vals = res
+            return HostCSR(
+                n_rows=n_rows, n_cols=n_cols, row_ptr=row_ptr,
+                dst=out_dst, src=out_src, vals=out_vals,
+            )
+
     if vals is None:
         vals = np.ones(e, dtype=np.float32)
     else:

@@ -88,20 +88,30 @@ def build_ell(
     v = int(vstart[-1])
     v_pad = ((v + 127) // 128) * 128
 
-    # slot of each edge: position within its destination row
-    t = np.arange(e, dtype=np.int64) - g.row_ptr[g.dst]
-    vidx = vstart[g.dst] + t // k
-    slot = t % k
-
     cols = np.full((v_pad, k), phantom_col, np.int32)
     vals = np.zeros((v_pad, k), np.float32)
     perm = np.full((v_pad, k), pad_edge_id, np.int32)
-    cols[vidx, slot] = g.src
-    vals[vidx, slot] = g.vals
-    perm[vidx, slot] = np.arange(e, dtype=np.int32)
-
     vrow = np.full(v_pad, phantom_row, np.int32)
-    vrow[:v] = np.repeat(np.arange(n, dtype=np.int32), nvirt)
+
+    filled = False
+    if e > 1_000_000:
+        from gala_tpu import native
+
+        src32 = np.ascontiguousarray(g.src, dtype=np.int32)
+        vals32 = np.ascontiguousarray(g.vals, dtype=np.float32)
+        rp = np.ascontiguousarray(g.row_ptr, dtype=np.int64)
+        filled = native.fill_ell_native(
+            n, k, rp, src32, vals32, vstart, cols, vals, perm, vrow
+        )
+    if not filled:
+        # slot of each edge: position within its destination row
+        t = np.arange(e, dtype=np.int64) - g.row_ptr[g.dst]
+        vidx = vstart[g.dst] + t // k
+        slot = t % k
+        cols[vidx, slot] = g.src
+        vals[vidx, slot] = g.vals
+        perm[vidx, slot] = np.arange(e, dtype=np.int32)
+        vrow[:v] = np.repeat(np.arange(n, dtype=np.int32), nvirt)
 
     return HostEll(cols=cols, vals=vals, vrow=vrow, perm=perm, n_virtual=v, k=k)
 

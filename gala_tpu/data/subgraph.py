@@ -26,9 +26,16 @@ def mask_subgraphs(g: HostCSR, train_mask: np.ndarray, n_layers: int) -> list[Ho
     masks = [np.asarray(train_mask, dtype=bool)]
     for _ in range(n_layers - 1):
         m = masks[-1]
+        if g.n_edges > 1_000_000:
+            from gala_tpu import native
+
+            grown = native.grow_mask_native(g.src, g.dst, m)
+            if grown is not None:
+                masks.append(grown)
+                continue
         grown = m.copy()
         # nodes feeding a masked destination are needed one hop earlier
-        np.logical_or.at(grown, g.src[m[g.dst]], True)
+        grown[g.src[m[g.dst]]] = True
         masks.append(grown)
     # masks[k] = nodes needed at depth k from the loss; layer i uses
     # masks[n_layers-1-i] as its destination set

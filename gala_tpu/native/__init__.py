@@ -1,0 +1,135 @@
+"""Native (C++/OpenMP) preprocessing, loaded through ctypes.
+
+Compiled lazily on first import with g++ (cached as _csr_ops.so next to
+the source); every entry point has a NumPy fallback in gala_tpu.data, so
+environments without a toolchain lose speed, not functionality.
+Set GALA_TPU_NO_NATIVE=1 to force the NumPy paths.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "csr_ops.cpp")
+_SO = os.path.join(_DIR, "_csr_ops.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("GALA_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.coo_to_csr_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.fill_ell_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.grow_mask_i8.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.omp_threads.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def coo_to_csr_native(src, dst, vals, n_rows: int):
+    """Returns (row_ptr i64, out_src i32, out_dst i32, out_vals f32) or
+    None when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    e = src.shape[0]
+    vals_arr = (
+        np.ascontiguousarray(vals, dtype=np.float32) if vals is not None else None
+    )
+    row_ptr = np.zeros(n_rows + 1, np.int64)
+    out_src = np.empty(e, np.int32)
+    out_dst = np.empty(e, np.int32)
+    out_vals = np.empty(e, np.float32)
+    lib.coo_to_csr_i32(
+        n_rows, e,
+        _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+        _ptr(vals_arr, ctypes.c_float) if vals_arr is not None else None,
+        _ptr(row_ptr, ctypes.c_int64), _ptr(out_src, ctypes.c_int32),
+        _ptr(out_dst, ctypes.c_int32), _ptr(out_vals, ctypes.c_float),
+    )
+    return row_ptr, out_src, out_dst, out_vals
+
+
+def fill_ell_native(n_rows, k, row_ptr, src, csr_vals, vstart,
+                    cols, vals, perm, vrow) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    lib.fill_ell_i32(
+        n_rows, k,
+        _ptr(row_ptr, ctypes.c_int64), _ptr(src, ctypes.c_int32),
+        _ptr(csr_vals, ctypes.c_float), _ptr(vstart, ctypes.c_int64),
+        _ptr(cols, ctypes.c_int32), _ptr(vals, ctypes.c_float),
+        _ptr(perm, ctypes.c_int32), _ptr(vrow, ctypes.c_int32),
+    )
+    return True
+
+
+def grow_mask_native(src, dst, mask) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    mask_in = np.ascontiguousarray(mask, dtype=np.uint8)
+    mask_out = mask_in.copy()
+    lib.grow_mask_i8(
+        src.shape[0],
+        _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+        _ptr(mask_in, ctypes.c_uint8), _ptr(mask_out, ctypes.c_uint8),
+    )
+    return mask_out.astype(bool)

@@ -1,0 +1,107 @@
+// Native host-side graph preprocessing (OpenMP C++).
+//
+// TPU-native counterpart of the reference's OpenMP runtime library:
+//   - CSR build by counting sort  (reference: src/formats/csrc_matrix.h:148-376,
+//     src/utils/mtx_sort.h count_atomic/count_sort_place/partial_sum)
+//   - row-split ELL construction  (the layout gala_tpu/data/ell.py defines)
+//   - train-mask growth for L-hop subgraphs (reference: tests/common.h:20-123
+//     getMaskSubgraphs' per-hop max-aggregate propagation)
+//
+// Exposed as a plain C ABI consumed through ctypes (gala_tpu/native/__init__.py).
+// The NumPy implementations remain the portable fallback; these kick in for
+// 100M+ edge graphs where single-threaded numpy sorts dominate setup time.
+
+#include <cstdint>
+#include <cstring>
+#include <atomic>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Counting-sort COO (src,dst,vals) into dst-sorted CSR arrays.
+// row_ptr must have n_rows+1 entries; out_* must have n_edges entries.
+void coo_to_csr_i32(
+    int64_t n_rows, int64_t n_edges,
+    const int32_t* src, const int32_t* dst, const float* vals,
+    int64_t* row_ptr, int32_t* out_src, int32_t* out_dst, float* out_vals)
+{
+    // counts
+    std::memset(row_ptr, 0, sizeof(int64_t) * (n_rows + 1));
+    {
+        std::atomic<int64_t>* counts =
+            reinterpret_cast<std::atomic<int64_t>*>(row_ptr + 1);
+#pragma omp parallel for
+        for (int64_t e = 0; e < n_edges; ++e) {
+            counts[dst[e]].fetch_add(1, std::memory_order_relaxed);
+        }
+    }
+    // prefix sum (serial; n_rows is small relative to edges)
+    for (int64_t r = 0; r < n_rows; ++r) row_ptr[r + 1] += row_ptr[r];
+
+    // stable placement: per-row cursors
+    int64_t* cursor = new int64_t[n_rows];
+#pragma omp parallel for
+    for (int64_t r = 0; r < n_rows; ++r) cursor[r] = row_ptr[r];
+    {
+        std::atomic<int64_t>* cur = reinterpret_cast<std::atomic<int64_t>*>(cursor);
+#pragma omp parallel for
+        for (int64_t e = 0; e < n_edges; ++e) {
+            int64_t pos = cur[dst[e]].fetch_add(1, std::memory_order_relaxed);
+            out_src[pos] = src[e];
+            out_dst[pos] = dst[e];
+            out_vals[pos] = vals ? vals[e] : 1.0f;
+        }
+    }
+    delete[] cursor;
+}
+
+// Row-split ELL fill from a dst-sorted CSR.
+// vstart: (n_rows+1) precomputed virtual-row offsets (ceil(deg/k) cumsum).
+// cols/vals/perm are (v_pad, k) pre-initialized by the caller
+// (phantom col / 0 / pad_edge_id); vrow is (v_pad,) pre-initialized.
+void fill_ell_i32(
+    int64_t n_rows, int64_t k,
+    const int64_t* row_ptr, const int32_t* src, const float* csr_vals,
+    const int64_t* vstart,
+    int32_t* cols, float* vals, int32_t* perm, int32_t* vrow)
+{
+#pragma omp parallel for schedule(dynamic, 1024)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        int64_t lo = row_ptr[r], hi = row_ptr[r + 1];
+        int64_t v0 = vstart[r];
+        for (int64_t e = lo; e < hi; ++e) {
+            int64_t t = e - lo;
+            int64_t v = v0 + t / k;
+            int64_t s = t % k;
+            cols[v * k + s] = src[e];
+            vals[v * k + s] = csr_vals[e];
+            perm[v * k + s] = (int32_t)e;
+        }
+        int64_t nv = vstart[r + 1] - v0;
+        for (int64_t v = v0; v < v0 + nv; ++v) vrow[v] = (int32_t)r;
+    }
+}
+
+// One hop of train-mask growth: mark sources of edges into masked dsts.
+void grow_mask_i8(
+    int64_t n_edges, const int32_t* src, const int32_t* dst,
+    const uint8_t* mask_in, uint8_t* mask_out)
+{
+#pragma omp parallel for
+    for (int64_t e = 0; e < n_edges; ++e) {
+        if (mask_in[dst[e]]) mask_out[src[e]] = 1;
+    }
+}
+
+int omp_threads() {
+#ifdef _OPENMP
+    return omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
+}  // extern "C"

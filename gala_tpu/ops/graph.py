@@ -169,19 +169,28 @@ class Graph:
         if strategy == "ell":
             from gala_tpu.data.ell import build_ell
 
-            gt = host_transpose(g)
             ell = build_ell(g, phantom_col=c, phantom_row=n, pad_edge_id=e_pad - 1)
+            # transpose built with an explicitly stable order so each gt
+            # edge j maps deterministically to forward edge t_order[j]
+            # (the native counting sort is not stable across threads)
+            t_order = np.argsort(g.src, kind="stable")
+            t_counts2 = np.bincount(g.src, minlength=c)
+            gt_row_ptr = np.zeros(c + 1, np.int64)
+            np.cumsum(t_counts2, out=gt_row_ptr[1:])
+            gt = HostCSR(
+                n_rows=c, n_cols=n, row_ptr=gt_row_ptr,
+                dst=g.src[t_order].astype(np.int32),
+                src=g.dst[t_order].astype(np.int32),
+                vals=g.vals[t_order],
+            )
             # transpose slots map to *forward* edge ids so learned edge
             # values permute straight into the backward layout
             t_ell = build_ell(
                 gt, k=ell.k, phantom_col=n, phantom_row=c, pad_edge_id=e_pad - 1
             )
-            # gt's edge j came from forward edge t_order[j] (coo_to_csr
-            # sorts by its dst — the forward src — with a stable sort)
-            t_order = np.argsort(g.src, kind="stable")
             real = t_ell.perm != e_pad - 1
             t_perm_vals = t_ell.perm.copy()
-            t_perm_vals[real] = t_order[t_ell.perm[real]]
+            t_perm_vals[real] = t_order[t_ell.perm[real]].astype(np.int32)
             t_ell = dataclasses.replace(t_ell, perm=t_perm_vals)
 
         return cls(
