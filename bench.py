@@ -93,14 +93,15 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    times = []
+    from gala_tpu.utils.timing import EpochTimer
+
+    timer = EpochTimer()
+    loss = None
     for i in range(iters):
-        t0 = time.perf_counter()
+        if i == warmup:
+            timer.start(fence_on=loss)
         params, opt_state, loss = base_step(params, opt_state)
-        jax.block_until_ready(loss)
-        if i >= warmup:
-            times.append(time.perf_counter() - t0)
-    base_epoch = float(np.mean(times))
+    base_epoch = timer.stop(loss, n=iters - warmup)
 
     edges_per_s = n_edges / gala_epoch if gala_epoch > 0 else 0.0
     print(

@@ -25,6 +25,31 @@ Public API (mirrors the reference driver CLIs, reference: tests/gala_train.cpp):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache.  On remote-compile platforms (axon
+    tunnel) even trivial programs take minutes to compile; the disk cache
+    turns repeat compiles into ~0.3s loads.  Opt out with
+    GALA_TPU_NO_COMPILE_CACHE=1 or point GALA_TPU_COMPILE_CACHE elsewhere."""
+    if _os.environ.get("GALA_TPU_NO_COMPILE_CACHE"):
+        return
+    path = _os.environ.get(
+        "GALA_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", path)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from gala_tpu.ops.graph import Graph
 from gala_tpu.api import compile_file, compile_source, compile_model
 

@@ -13,9 +13,14 @@ Replaces the reference's generated `main()` training loop
   run on per-layer training subgraphs (reference: the `ep % mod_v`
   dispatch in src/codegen/common.h:919-925).
 
-The whole epoch is a single jitted step; forward-only timing uses a
-separately jitted forward (both `block_until_ready`-fenced, the TPU
-equivalent of the reference's cudaDeviceSynchronize brackets).
+Timing protocol (axon-safe, see gala_tpu/utils/timing.py): all epochs of
+a phase are *enqueued* with no host synchronization inside the timed
+region; a single host fetch fences each boundary.  Per-epoch losses are
+stacked on device and fetched once; test accuracy is evaluated after the
+timed region on per-validation-epoch parameter snapshots, so accuracy
+work never inflates epoch times (the reference computes accuracy between
+its timing brackets for the same reason,
+reference: src/codegen/common.h:1518-1543).
 """
 from __future__ import annotations
 
@@ -160,42 +165,74 @@ def train(
     def test_acc(params, extra):
         return masked_accuracy(fwd_full(params, extra), labels, test_mask)
 
-    fwd_times, tot_times, losses, accs = [], [], [], []
-    mem_mb = 0.0
-    for epoch in range(iters):
+    from gala_tpu.utils.timing import EpochTimer
+
+    def schedule(epoch):
         is_valid = valid_step > 0 and (epoch % valid_step == 0)
         extra = epoch_inputs(epoch) if epoch_inputs else {}
-        # timed forward (inference time)
-        t0 = time.perf_counter()
-        logits = (fwd_full if is_valid else fwd_train)(params, extra)
-        jax.block_until_ready(logits)
-        t1 = time.perf_counter()
-        # full step (re-runs forward inside grad, matching the reference's
-        # fwd-then-backward bracket structure)
+        return is_valid, extra
+
+    # ---- parallel compile warmup: on remote-compile platforms (axon)
+    # each executable costs ~1 min to build; build all five at once --- #
+    extra0 = epoch_inputs(0) if epoch_inputs else {}
+    jobs = [
+        lambda: step_train(params, opt_state, extra0),
+        lambda: step_full(params, opt_state, extra0),
+        lambda: fwd_train(params, extra0),
+        lambda: fwd_full(params, extra0),
+    ]
+    if valid_step > 0:
+        jobs.append(lambda: test_acc(params, extra0))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        for f in [ex.submit(j) for j in jobs]:
+            f.result()
+
+    losses, snapshots = [], []
+    mem_mb = 0.0
+    timer = EpochTimer()
+
+    # ---- training phase: enqueue every epoch, fence only at the
+    # warmup boundary and at the end --------------------------------- #
+    loss = None
+    for epoch in range(iters):
+        if epoch == warmup:
+            timer.start(fence_on=loss)
+            if measure_memory:
+                mem_mb = device_memory_mb()
+        is_valid, extra = schedule(epoch)
         params, opt_state, loss = (step_full if is_valid else step_train)(
             params, opt_state, extra
         )
-        jax.block_until_ready(loss)
-        t2 = time.perf_counter()
-
-        if epoch >= warmup:
-            fwd_times.append(t1 - t0)
-            # the jitted step already contains one forward + backward +
-            # update, exactly the reference's fwd..step bracket — the
-            # separately timed forward above is measurement/validation
-            # only, so it must not be double counted
-            tot_times.append(t2 - t1)
-        losses.append(float(loss))
+        losses.append(loss)
         if is_valid:
-            accs.append(float(test_acc(params, extra)))
-        if measure_memory and epoch == warmup:
-            mem_mb = device_memory_mb()
+            # parameter snapshot (immutable device arrays, no copy);
+            # accuracy is evaluated after the timed region
+            snapshots.append((params, extra))
+    total_time = timer.stop(loss, n=max(iters - warmup, 1))
+
+    # ---- inference phase: forward-only epochs, same graph schedule -- #
+    logits = None
+    n_timed = 0
+    for epoch in range(iters):
+        if epoch == warmup:
+            timer.start(fence_on=logits)
+        is_valid, extra = schedule(epoch)
+        logits = (fwd_full if is_valid else fwd_train)(params, extra)
+        n_timed += epoch >= warmup
+    inference_time = timer.stop(logits, n=max(n_timed, 1))
+
+    # ---- deferred metrics (outside both timed regions) -------------- #
+    losses_host = np.asarray(jnp.stack(losses)).tolist()
+    accs = [test_acc(p, e) for p, e in snapshots]
+    accs = np.asarray(jnp.stack(accs)).tolist() if accs else []
 
     return TrainResult(
-        inference_time=float(np.mean(fwd_times)) if fwd_times else 0.0,
-        total_time=float(np.mean(tot_times)) if tot_times else 0.0,
+        inference_time=inference_time,
+        total_time=total_time,
         max_accuracy=float(np.max(accs)) if accs else 0.0,
-        losses=losses,
+        losses=losses_host,
         accuracies=accs,
         params=params,
         memory_mb=mem_mb,
