@@ -106,11 +106,19 @@ def transpose(g: HostCSR) -> HostCSR:
 
 
 def is_symmetric(g: HostCSR) -> bool:
-    """True if the (unweighted) edge set equals its transpose."""
-    a = np.stack([g.dst.astype(np.int64), g.src.astype(np.int64)])
-    key_fwd = np.sort(a[0] * g.n_cols + a[1])
-    key_bwd = np.sort(a[1] * g.n_rows + a[0])
-    return key_fwd.shape == key_bwd.shape and bool(np.array_equal(key_fwd, key_bwd))
+    """True if the weighted adjacency equals its transpose (A == A^T).
+
+    Values matter: a structurally symmetric graph with asymmetric weights
+    must NOT alias its backward (transpose) graph."""
+    if g.n_rows != g.n_cols:
+        return False
+    key_fwd = g.dst.astype(np.int64) * g.n_cols + g.src
+    key_bwd = g.src.astype(np.int64) * g.n_rows + g.dst
+    of, ob = np.argsort(key_fwd), np.argsort(key_bwd)
+    return bool(
+        np.array_equal(key_fwd[of], key_bwd[ob])
+        and np.array_equal(g.vals[of], g.vals[ob])
+    )
 
 
 def normalize_self_loops(

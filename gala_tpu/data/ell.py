@@ -119,3 +119,161 @@ def build_ell(
 def inflation(ell: HostEll, n_edges: int) -> float:
     """Padded-slot inflation factor (1.0 = no padding overhead)."""
     return ell.cols.shape[0] * ell.k / max(n_edges, 1)
+
+
+# --------------------------------------------------------------------------- #
+# Binned ELL (SELL-style): degree-class bins, scatter-free reduction
+# --------------------------------------------------------------------------- #
+# Measured on the v5e (scripts/microbench.py): the XLA row-gather rate is
+# flat in table size and index order (~250-300M rows/s) while the sorted
+# segment-sum scatter runs at only ~95M rows/s.  So the winning layout
+# minimizes *scattered rows*, not locality: group nodes into degree-class
+# bins where every node owns exactly ONE virtual row of width k_b, reduce
+# each bin with a dense reshape-sum (no scatter at all), and keep a tiny
+# segment-sum only for hub nodes with degree > BIN_SIZES[-1].  Self-loop
+# (diagonal) values are split out and applied as an elementwise product,
+# removing one gathered slot per node.
+#
+# The per-class widths play the role of the reference's register
+# coarsening factors (reference: src/codegen/cuda.h:282-436 `_coarseN`
+# kernels and their `_offset` remainder variants); the degree-class node
+# relabeling is the reference's degree reordering made load-time
+# (reference: src/ops/reordering.h:1085 getAcendingOrder).
+
+BIN_SIZES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+K_BIG = 128
+
+
+@dataclasses.dataclass
+class HostBinnedEll:
+    flat_cols: np.ndarray            # (S,) int32: all bins' slots then big part
+    bin_vals: list[np.ndarray]       # per bin (n_b, k_b) float32
+    bin_ks: tuple[int, ...]          # static widths (only non-empty bins)
+    bin_counts: tuple[int, ...]      # static node counts per bin
+    big_vals: np.ndarray | None      # (Vb, K_BIG) float32
+    big_vrow: np.ndarray | None      # (Vb,) int32 position in big segment, sorted
+    n_big: int
+    diag: np.ndarray | None          # (n,) float32 self-loop values (bin order!)
+    order: np.ndarray                # (n,) node id at output position i
+    identity_order: bool
+
+
+def _bell_classes(deg: np.ndarray) -> np.ndarray:
+    """Degree-class id per node; len(BIN_SIZES) = the hub class."""
+    cls = np.searchsorted(BIN_SIZES, np.maximum(deg, 1)).astype(np.int32)
+    return np.where(deg > BIN_SIZES[-1], len(BIN_SIZES), cls).astype(np.int32)
+
+
+def _split_diag(g: HostCSR, split_diag: bool):
+    """Return (src, dst, vals, diag) with self-loops removed if requested."""
+    src, dst, vals = g.src, g.dst, g.vals
+    diag = None
+    if split_diag and g.n_rows == g.n_cols:
+        self_mask = src == dst
+        if self_mask.any():
+            diag = np.zeros(g.n_rows, np.float32)
+            np.add.at(diag, dst[self_mask], vals[self_mask])
+            keep = ~self_mask
+            src, dst, vals = src[keep], dst[keep], vals[keep]
+    return src, dst, vals, diag
+
+
+def bell_order(g: HostCSR, split_diag: bool = True) -> np.ndarray:
+    """The degree-class permutation build_binned_ell uses internally.
+
+    Relabeling a graph with this order ahead of time makes the binned
+    layout's output order the identity (no per-SpMM reindex gather)."""
+    _, dst, _, _ = _split_diag(g, split_diag)
+    deg = np.bincount(dst, minlength=g.n_rows)
+    return np.argsort(_bell_classes(deg), kind="stable").astype(np.int64)
+
+
+def build_binned_ell(
+    g: HostCSR,
+    phantom_col: int | None = None,
+    split_diag: bool = True,
+) -> HostBinnedEll:
+    """Vectorized O(E) construction from a dst-sorted HostCSR."""
+    n = g.n_rows
+    phantom_col = g.n_cols if phantom_col is None else phantom_col
+
+    src, dst, vals, diag = _split_diag(g, split_diag)
+    e = src.shape[0]
+    deg = np.bincount(dst, minlength=n).astype(np.int64)
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=row_ptr[1:])
+
+    cls = _bell_classes(deg)
+    n_classes = len(BIN_SIZES) + 1
+    order = np.argsort(cls, kind="stable").astype(np.int64)
+    identity = bool(np.array_equal(order, np.arange(n)))
+    pos = np.empty(n, np.int64)          # node -> position in bin order
+    pos[order] = np.arange(n)
+    class_count = np.bincount(cls, minlength=n_classes)
+    class_start = np.zeros(n_classes + 1, np.int64)
+    np.cumsum(class_count, out=class_start[1:])
+    pos_in_bin = pos - class_start[cls]  # per node
+
+    ks = np.asarray(list(BIN_SIZES) + [K_BIG], np.int64)
+    # big nodes: ceil(deg/K_BIG) virtual rows each
+    big_ids = order[class_start[-2]:]    # hub nodes in bin order
+    n_big = int(big_ids.shape[0])
+    nvirt_big = (deg[big_ids] + K_BIG - 1) // K_BIG if n_big else np.zeros(0, np.int64)
+    vb = int(nvirt_big.sum())
+    vrow_start = np.zeros(n_big + 1, np.int64)
+    np.cumsum(nvirt_big, out=vrow_start[1:])
+
+    # flat slot layout: [bin 0 | bin 1 | ... | big (vb * K_BIG)]
+    bin_flat_start = np.zeros(n_classes + 1, np.int64)
+    np.cumsum(class_count[:-1] * ks[:-1], out=bin_flat_start[1 : n_classes])
+    bin_flat_start[-1] = bin_flat_start[-2] + vb * K_BIG
+    s_total = int(bin_flat_start[-1])
+
+    flat_cols = np.full(s_total, phantom_col, np.int32)
+    flat_vals = np.zeros(s_total, np.float32)
+
+    if e:
+        t = np.arange(e, dtype=np.int64) - row_ptr[dst]    # slot within row
+        c = cls[dst]
+        is_big = c == n_classes - 1
+        # single-virtual-row classes
+        sl = ~is_big
+        slot_s = bin_flat_start[c[sl]] + pos_in_bin[dst[sl]] * ks[c[sl]] + t[sl]
+        flat_cols[slot_s] = src[sl]
+        flat_vals[slot_s] = vals[sl]
+        # hub class: K_BIG-wide virtual rows
+        if n_big:
+            bd = dst[is_big]
+            vbase = vrow_start[pos_in_bin[bd]]
+            slot_b = bin_flat_start[-2] + (vbase + t[is_big] // K_BIG) * K_BIG + t[is_big] % K_BIG
+            flat_cols[slot_b] = src[is_big]
+            flat_vals[slot_b] = vals[is_big]
+
+    bin_ks, bin_counts, bin_vals = [], [], []
+    for b, k in enumerate(BIN_SIZES):
+        nb = int(class_count[b])
+        if nb == 0:
+            continue
+        lo, hi = int(bin_flat_start[b]), int(bin_flat_start[b + 1])
+        bin_ks.append(int(k))
+        bin_counts.append(nb)
+        bin_vals.append(flat_vals[lo:hi].reshape(nb, k))
+
+    big_vals = big_vrow = None
+    if n_big:
+        lo = int(bin_flat_start[-2])
+        big_vals = flat_vals[lo:].reshape(vb, K_BIG)
+        big_vrow = np.repeat(np.arange(n_big, dtype=np.int32), nvirt_big)
+
+    return HostBinnedEll(
+        flat_cols=flat_cols,
+        bin_vals=bin_vals,
+        bin_ks=tuple(bin_ks),
+        bin_counts=tuple(bin_counts),
+        big_vals=big_vals,
+        big_vrow=big_vrow,
+        n_big=n_big,
+        diag=diag,  # GLOBAL node order (applied after output reindexing)
+        order=order,
+        identity_order=identity,
+    )

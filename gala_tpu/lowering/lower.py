@@ -18,11 +18,11 @@ from gala_tpu.data.sampling import sample_graph_ab, sample_graph_random
 from gala_tpu.data.subgraph import mask_subgraphs
 from gala_tpu.dsl.spec import ModelSpec
 from gala_tpu.ir.build import generate_ir
-from gala_tpu.ir.compute_ir import Program
+from gala_tpu.ir.compute_ir import ComputeOp, Program
 from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS
 from gala_tpu.lowering.autoschedule import autoschedule
 from gala_tpu.lowering.interp import make_forward, make_init_params
-from gala_tpu.ops.graph import Graph
+from gala_tpu.ops.graph import NODE_PAD, Graph
 from gala_tpu.passes.pipeline import run_passes
 from gala_tpu.train import TrainResult, train
 
@@ -136,7 +136,37 @@ def lower(
     elif spec.compute.sample:
         g_host = sample_graph_ab(g_host, int(spec.compute.sample))
 
-    full_g = Graph.from_host(g_host, strategy=strategy, undirected=spec.graph.undirected)
+    # graphs with learned per-edge values (GAT) need the slot->edge-id
+    # permutation only the row-split ELL keeps
+    edge_vals = any(
+        n.op in (ComputeOp.AGGREGATE_EDGE_SUM, ComputeOp.AGGREGATE_EDGE_MUL)
+        or (n.op is ComputeOp.AGGREGATE_MUL_SUM and len(n.inputs) >= 3)
+        for n in prog.all_nodes()
+    )
+    if strategy == "auto":
+        from gala_tpu.ops.graph import choose_strategy
+
+        strategy = choose_strategy(
+            g_host.n_rows + NODE_PAD, g_host.n_cols + NODE_PAD,
+            g_host.n_edges, edge_vals=edge_vals,
+        )
+    if strategy == "bell":
+        # relabel nodes in degree-class order so the binned layout's
+        # output order is the identity (zero-cost at run time) — the
+        # reference's degree reordering applied at load
+        # (reference: src/ops/reordering.h:1085)
+        from gala_tpu.data.ell import bell_order
+        from gala_tpu.data.reordering import apply_reorder
+
+        order = bell_order(g_host)
+        g_host, feats, labels, masks, _ = apply_reorder(
+            g_host, order, feats, labels, masks
+        )
+
+    full_g = Graph.from_host(
+        g_host, strategy=strategy, undirected=spec.graph.undirected,
+        edge_vals=edge_vals,
+    )
     n_layers = spec.num_layers
     full_graphs = [full_g] * n_layers
 

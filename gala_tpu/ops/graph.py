@@ -39,6 +39,67 @@ from gala_tpu.data.csr import HostCSR, transpose as host_transpose, is_symmetric
 EDGE_PAD = 128
 NODE_PAD = 8
 
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BellDev:
+    """Device arrays of a binned ELL (see gala_tpu.data.ell.build_binned_ell).
+
+    One flat gather feeds per-degree-class dense reductions; only hub
+    nodes use a (tiny) segment-sum.  `out_index` reorders bin-order output
+    back to global node order ((n_pad,) gather; None when the graph was
+    pre-relabeled with bell_order so bin order IS global order)."""
+
+    flat_cols: jax.Array                 # (S,) int32
+    bin_vals: tuple                      # per bin (n_b, k_b) f32
+    big_vals: jax.Array | None           # (Vb, K_BIG) f32
+    big_vrow: jax.Array | None           # (Vb,) int32 sorted
+    diag: jax.Array | None               # (n_pad, 1) f32, global order
+    out_index: jax.Array | None          # (n_pad,) int32 into bin-order+1 rows
+    bin_ks: tuple                        # static
+    bin_counts: tuple                    # static
+    n_big: int                           # static
+    n_real: int                          # static: real node count
+
+    def tree_flatten(self):
+        children = (
+            self.flat_cols, self.bin_vals, self.big_vals,
+            self.big_vrow, self.diag, self.out_index,
+        )
+        aux = (self.bin_ks, self.bin_counts, self.n_big, self.n_real)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_host(cls, hb, n_pad: int, n_real: int) -> "BellDev":
+        diag = None
+        if hb.diag is not None:
+            d = np.zeros((n_pad, 1), np.float32)
+            d[:n_real, 0] = hb.diag
+            diag = jnp.asarray(d)
+        out_index = None
+        if not hb.identity_order:
+            # position of each global node in bin order; padding rows point
+            # at the appended zero row (index n_real)
+            inv = np.full(n_pad, n_real, np.int32)
+            inv[hb.order] = np.arange(n_real, dtype=np.int32)
+            out_index = jnp.asarray(inv)
+        return cls(
+            flat_cols=jnp.asarray(hb.flat_cols),
+            bin_vals=tuple(jnp.asarray(v) for v in hb.bin_vals),
+            big_vals=jnp.asarray(hb.big_vals) if hb.big_vals is not None else None,
+            big_vrow=jnp.asarray(hb.big_vrow) if hb.big_vrow is not None else None,
+            diag=diag,
+            out_index=out_index,
+            bin_ks=hb.bin_ks,
+            bin_counts=hb.bin_counts,
+            n_big=hb.n_big,
+            n_real=n_real,
+        )
+
 # Above this many scalar elements the one-shot (E,F) gather intermediate is
 # scanned in chunks instead (keeps peak memory ~CHUNK*F).
 _SEGMENT_ONESHOT_LIMIT = 1 << 27  # 128M elements ~ 512MB f32
@@ -76,6 +137,9 @@ class Graph:
     t_ell_vals: jax.Array | None
     t_ell_vrow: jax.Array | None
     t_ell_perm: jax.Array | None
+    # binned ELL layout (strategy 'bell'; see gala_tpu.data.ell)
+    bell: "BellDev | None"
+    t_bell: "BellDev | None"
 
     # --- static aux ---
     n_nodes: int            # real node count
@@ -96,6 +160,7 @@ class Graph:
             self.row_ptr, self.t_row_ptr,
             self.ell_cols, self.ell_vals, self.ell_vrow, self.ell_perm,
             self.t_ell_cols, self.t_ell_vals, self.t_ell_vrow, self.t_ell_perm,
+            self.bell, self.t_bell,
         )
         aux = (
             self.n_nodes, self.n_cols, self.n_pad, self.c_pad,
@@ -114,6 +179,7 @@ class Graph:
         g: HostCSR,
         strategy: str = "auto",
         undirected: bool | None = None,
+        edge_vals: bool = False,
     ) -> "Graph":
         if undirected is None:
             undirected = is_symmetric(g)
@@ -128,7 +194,7 @@ class Graph:
         e_pad = _round_up(e_real + 1, EDGE_PAD)
 
         if strategy == "auto":
-            strategy = choose_strategy(n_pad, c_pad, e_real)
+            strategy = choose_strategy(n_pad, c_pad, e_real, edge_vals=edge_vals)
 
         def pad_edges(dstv, srcv, valsv, phantom_dst, phantom_src):
             pad = e_pad - dstv.shape[0]
@@ -164,6 +230,18 @@ class Graph:
             d = np.zeros((n_pad, c_pad), np.float32)
             d[: n, : c] = densify(g)
             a_dense = jnp.asarray(d)
+
+        bell = t_bell = None
+        if strategy == "bell":
+            from gala_tpu.data.ell import build_binned_ell
+
+            hb = build_binned_ell(g, phantom_col=c)
+            bell = BellDev.from_host(hb, n_pad, n)
+            if undirected:
+                t_bell = bell
+            else:
+                hbt = build_binned_ell(host_transpose(g), phantom_col=n)
+                t_bell = BellDev.from_host(hbt, c_pad, c)
 
         ell = t_ell = None
         if strategy == "ell":
@@ -213,6 +291,8 @@ class Graph:
             t_ell_vals=jnp.asarray(t_ell.vals) if t_ell else None,
             t_ell_vrow=jnp.asarray(t_ell.vrow) if t_ell else None,
             t_ell_perm=jnp.asarray(t_ell.perm) if t_ell else None,
+            bell=bell,
+            t_bell=t_bell,
             n_nodes=n,
             n_cols=c,
             n_pad=n_pad,
@@ -236,15 +316,23 @@ class Graph:
         return self.n_edges / float(max(self.n_nodes, 1) ** 2)
 
 
-def choose_strategy(n_pad: int, c_pad: int, e_real: int, feat_dim: int = 128) -> str:
+def choose_strategy(
+    n_pad: int,
+    c_pad: int,
+    e_real: int,
+    feat_dim: int = 128,
+    edge_vals: bool = False,
+) -> str:
     """Input-aware strategy selection (the TPU analog of the reference's
     density heuristic, reference: tests/gala_inference.cpp:84-131).
 
     - Small graphs: densify; the MXU at ~100+ TFLOP/s beats any sparse
       path even at 1000x more FLOPs.
-    - Otherwise row-split ELL (gather + dense K-reduction + small
-      scatter; see gala_tpu.data.ell for the measured rationale).
+    - Learned per-edge values (GAT): row-split ELL (its slot->edge-id
+      permutation carries attention weights into the layout).
+    - Otherwise binned ELL: scatter-free degree-class reduction
+      (see gala_tpu.data.ell for the measured rationale).
     """
     if max(n_pad, c_pad) <= _DENSE_MAX_NODES:
         return "dense"
-    return "ell"
+    return "ell" if edge_vals else "bell"

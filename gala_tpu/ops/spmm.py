@@ -162,6 +162,85 @@ _spmm_ev_ell.defvjp(_spmm_ev_ell_fwd, _spmm_ev_ell_bwd)
 
 
 # --------------------------------------------------------------------------- #
+# binned ELL (strategy 'bell'): scatter-free degree-class SpMM
+# --------------------------------------------------------------------------- #
+def _bell_raw(bell, x, n_out_pad):
+    """One flat gather + per-degree-class dense reductions + hub
+    segment-sum (see gala_tpu.data.ell.build_binned_ell).  Output is in
+    global node order, padded to n_out_pad rows."""
+    f = x.shape[1]
+    gathered = x[bell.flat_cols]                       # (S, F) — the hot op
+    parts = []
+    off = 0
+    for k, nb, vals in zip(bell.bin_ks, bell.bin_counts, bell.bin_vals):
+        seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(nb, k, f)
+        parts.append(
+            jnp.einsum(
+                "vk,vkf->vf", vals.astype(x.dtype), seg,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+        off += nb * k
+    if bell.n_big:
+        vb, kb = bell.big_vals.shape
+        seg = jax.lax.slice_in_dim(gathered, off, off + vb * kb).reshape(vb, kb, f)
+        partial = jnp.einsum(
+            "vk,vkf->vf", bell.big_vals.astype(x.dtype), seg,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        parts.append(
+            jax.ops.segment_sum(
+                partial, bell.big_vrow,
+                num_segments=bell.n_big, indices_are_sorted=True,
+            )
+        )
+    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    if bell.out_index is not None:
+        # bin order -> global order; padding rows read the appended 0 row
+        out = jnp.concatenate([out, jnp.zeros((1, f), x.dtype)], axis=0)
+        out = out[bell.out_index]
+    else:
+        pad = n_out_pad - out.shape[0]
+        if pad > 0:
+            out = jnp.concatenate([out, jnp.zeros((pad, f), x.dtype)], axis=0)
+    if bell.diag is not None:
+        out = out + bell.diag.astype(x.dtype) * x
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_bell(n_out, c_out, bell, t_bell, x):
+    return _bell_raw(bell, x, n_out)
+
+
+def _spmm_bell_fwd(n_out, c_out, bell, t_bell, x):
+    return _bell_raw(bell, x, n_out), (bell, t_bell)
+
+
+def _spmm_bell_bwd(n_out, c_out, res, dz):
+    bell, t_bell = res
+    dx = _bell_raw(t_bell, dz, c_out)
+
+    def zeros_ct(b):
+        import dataclasses as _dc
+
+        return _dc.replace(
+            b,
+            flat_cols=_float0_like(b.flat_cols),
+            bin_vals=tuple(jnp.zeros_like(v) for v in b.bin_vals),
+            big_vals=jnp.zeros_like(b.big_vals) if b.big_vals is not None else None,
+            big_vrow=_float0_like(b.big_vrow) if b.big_vrow is not None else None,
+            diag=jnp.zeros_like(b.diag) if b.diag is not None else None,
+            out_index=_float0_like(b.out_index) if b.out_index is not None else None,
+        )
+
+    return (zeros_ct(bell), zeros_ct(t_bell), dx)
+
+
+_spmm_bell.defvjp(_spmm_bell_fwd, _spmm_bell_bwd)
+
+
+# --------------------------------------------------------------------------- #
 # dynamic in-kernel neighbor sampling
 # --------------------------------------------------------------------------- #
 def _sampled_ell(row_ptr, src, deg, k, ra, rb):
@@ -307,6 +386,8 @@ def spmm(g: Graph, x: jax.Array) -> jax.Array:
             preferred_element_type=x.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
+    if g.strategy == "bell":
+        return _spmm_bell(g.n_pad, g.c_pad, g.bell, g.t_bell, x)
     if g.strategy == "ell":
         return _spmm_ell(
             g.n_pad, g.c_pad,
@@ -334,6 +415,13 @@ def spmm_ev(g: Graph, vals: jax.Array, x: jax.Array) -> jax.Array:
             a, x,
             preferred_element_type=x.dtype,
             precision=jax.lax.Precision.HIGHEST,
+        )
+    if g.strategy == "bell":
+        # learned edge values need the slot->edge permutation the binned
+        # layout does not keep; fall back to the segment path
+        return _spmm_ev_seg(
+            g.n_pad, g.c_pad, False,
+            g.src, g.dst, g.t_src, g.t_dst, g.t_perm, vals, x,
         )
     if g.strategy == "ell":
         mask = (g.ell_perm != g.e_pad - 1).astype(x.dtype)

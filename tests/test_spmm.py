@@ -10,7 +10,7 @@ from gala_tpu.data.csr import densify
 from gala_tpu.ops.graph import Graph, choose_strategy
 from gala_tpu.ops.spmm import spmm, spmm_direct, spmm_ev
 
-STRATEGIES = ["dense", "segment", "segment_scan", "ell"]
+STRATEGIES = ["dense", "segment", "segment_scan", "ell", "bell"]
 
 
 @pytest.fixture(scope="module", params=STRATEGIES)
@@ -76,8 +76,9 @@ def test_degrees_match(graph_and_dense):
 
 def test_strategy_heuristic():
     assert choose_strategy(1000, 1000, 5000) == "dense"
-    assert choose_strategy(10**6, 10**6, 10**5) == "ell"
-    assert choose_strategy(10**6, 10**6, 10**9) == "ell"
+    assert choose_strategy(10**6, 10**6, 10**5) == "bell"
+    assert choose_strategy(10**6, 10**6, 10**9) == "bell"
+    assert choose_strategy(10**6, 10**6, 10**5, edge_vals=True) == "ell"
 
 
 def test_ell_layout(small_dataset):
@@ -101,3 +102,70 @@ def test_spmm_under_jit(graph_and_dense):
     x, xp = _x(g)
     out = jax.jit(lambda gg, v: spmm(gg, v))(g, xp)  # Graph as pytree arg
     np.testing.assert_allclose(np.asarray(out)[: g.n_nodes], a @ x, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# binned ELL (strategy 'bell') specifics
+# --------------------------------------------------------------------------- #
+def _random_graph(n, e, rng, directed=True, self_loops=True, hub=None):
+    from gala_tpu.data.csr import coo_to_csr, symmetrize
+
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    if hub is not None:
+        # force one node above the hub threshold (degree > 128)
+        src = np.concatenate([src, rng.integers(0, n, 300)])
+        dst = np.concatenate([dst, np.full(300, hub)])
+    if not directed:
+        src, dst = symmetrize(src, dst, n)
+    if self_loops:
+        src = np.concatenate([src, np.arange(n)])
+        dst = np.concatenate([dst, np.arange(n)])
+    key = np.unique(src.astype(np.int64) * n + dst)
+    src, dst = key // n, key % n
+    vals = rng.standard_normal(len(src)).astype(np.float32)
+    return coo_to_csr(src, dst, vals, n_rows=n)
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_bell_hub_and_weighted(directed):
+    rng = np.random.default_rng(11)
+    n = 400
+    g_host = _random_graph(n, 4000, rng, directed=directed, hub=7)
+    g = Graph.from_host(g_host, strategy="bell")
+    a = densify(g_host)
+    x, xp = _x(g)
+    out = np.asarray(spmm(g, xp))[:n]
+    np.testing.assert_allclose(out, a @ x, rtol=2e-4, atol=2e-4)
+    dx = np.asarray(jax.grad(lambda v: spmm(g, v).sum())(xp))[:n]
+    np.testing.assert_allclose(dx, a.T @ np.ones((n, 16), np.float32), rtol=2e-4, atol=2e-4)
+
+
+def test_bell_relabeled_identity_order(small_dataset):
+    """After bell_order relabeling the layout needs no output reindex."""
+    from gala_tpu.data.ell import bell_order, build_binned_ell
+    from gala_tpu.data.reordering import apply_reorder
+
+    g_host, feats, labels, masks = small_dataset
+    order = bell_order(g_host)
+    g2, f2, l2, m2, _ = apply_reorder(g_host, order, feats, labels, masks)
+    hb = build_binned_ell(g2)
+    assert hb.identity_order
+    g = Graph.from_host(g2, strategy="bell")
+    assert g.bell.out_index is None
+    x = np.random.default_rng(1).normal(size=(g2.n_rows, 8)).astype(np.float32)
+    out = np.asarray(spmm(g, g.pad_nodes(x)))[: g2.n_rows]
+    np.testing.assert_allclose(out, densify(g2) @ x, rtol=2e-4, atol=2e-4)
+
+
+def test_bell_diag_split(small_dataset):
+    """Self-loop values are carried by the diagonal term."""
+    from gala_tpu.data.ell import build_binned_ell
+
+    g_host, *_ = small_dataset
+    hb = build_binned_ell(g_host)
+    if hb.diag is not None:
+        assert hb.diag.shape == (g_host.n_rows,)
+        # slot count excludes the split-out self loops
+        n_self = int((g_host.src == g_host.dst).sum())
+        assert hb.flat_cols.shape[0] >= g_host.n_edges - n_self
