@@ -54,7 +54,9 @@ def main():
 
     # ---- gala_tpu compiled path ---------------------------------------- #
     spec = parse_source(GCN_DSL)
-    cm = lower(spec, mode="train", data=data)
+    # bf16 activations: the TPU-native precision choice (params/loss stay
+    # f32); accuracy parity is asserted in tests and the verify flow
+    cm = lower(spec, mode="train", data=data, dtype=jnp.bfloat16)
     res = cm.train(iters=iters, warmup=warmup)
     gala_epoch = res.total_time
 

@@ -25,6 +25,7 @@ reference: src/codegen/common.h:1518-1543).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Sequence
 
@@ -161,6 +162,28 @@ def train(
     step_train = _step(fwd_train)
     step_full = _step(fwd_full)
 
+    # ---- fused epoch runs: a lax.scan of training steps per dispatch.
+    # Each dispatch through the runtime costs ~1.2ms wall (measured,
+    # scripts/microbench.py) — at ~10ms epochs that is 12% overhead, so
+    # the runs of non-validation epochs between validation points are
+    # executed as one scanned program (the TPU equivalent of the
+    # reference's single generated epoch loop).
+    fuse = epoch_inputs is None
+
+    @functools.lru_cache(maxsize=None)
+    def multi_step(length: int):
+        @jax.jit
+        def run(params, opt_state):
+            def body(carry, _):
+                p, o = carry
+                p, o, l = step_train(p, o, {})
+                return (p, o), l
+
+            (p, o), ls = jax.lax.scan(body, (params, opt_state), None, length=length)
+            return p, o, ls
+
+        return run
+
     @jax.jit
     def test_acc(params, extra):
         return masked_accuracy(fwd_full(params, extra), labels, test_mask)
@@ -193,38 +216,88 @@ def train(
     mem_mb = 0.0
     timer = EpochTimer()
 
-    # ---- training phase: enqueue every epoch, fence only at the
-    # warmup boundary and at the end --------------------------------- #
+    # ---- training phase: enqueue every epoch (validation epochs as
+    # single steps, runs between them as one scanned program), fence
+    # only at the warmup boundary and at the end ---------------------- #
     loss = None
-    for epoch in range(iters):
+    epoch = 0
+    while epoch < iters:
         if epoch == warmup:
             timer.start(fence_on=loss)
             if measure_memory:
                 mem_mb = device_memory_mb()
         is_valid, extra = schedule(epoch)
-        params, opt_state, loss = (step_full if is_valid else step_train)(
-            params, opt_state, extra
-        )
-        losses.append(loss)
-        if is_valid:
-            # parameter snapshot (immutable device arrays, no copy);
-            # accuracy is evaluated after the timed region
-            snapshots.append((params, extra))
+        if is_valid or not fuse:
+            params, opt_state, loss = (step_full if is_valid else step_train)(
+                params, opt_state, extra
+            )
+            losses.append(loss)
+            if is_valid:
+                # parameter snapshot (immutable device arrays, no copy);
+                # accuracy is evaluated after the timed region
+                snapshots.append((params, extra))
+            epoch += 1
+        else:
+            nxt_valid = (
+                ((epoch // valid_step) + 1) * valid_step
+                if valid_step > 0
+                else iters
+            )
+            end = min(iters, nxt_valid, warmup if epoch < warmup else iters)
+            params, opt_state, loss = multi_step(end - epoch)(params, opt_state)
+            losses.append(loss)  # (end-epoch,) per-epoch losses
+            epoch = end
     total_time = timer.stop(loss, n=max(iters - warmup, 1))
 
     # ---- inference phase: forward-only epochs, same graph schedule -- #
-    logits = None
-    n_timed = 0
-    for epoch in range(iters):
+    @functools.lru_cache(maxsize=None)
+    def multi_fwd(length: int):
+        @jax.jit
+        def run(params, dep0):
+            def body(dep, _):
+                # thread a tiny dependency through one parameter leaf so
+                # XLA cannot hoist the loop-invariant forward out of the
+                # scan; the term underflows against any real weight, so
+                # results are unchanged
+                leaves, treedef = jax.tree_util.tree_flatten(params)
+                leaves = [leaves[0] + (dep * 1e-38).astype(leaves[0].dtype)] + leaves[1:]
+                p = jax.tree_util.tree_unflatten(treedef, leaves)
+                lg = forward(
+                    p,
+                    train_graphs if use_sub else full_graphs,
+                    x_train if use_sub else x_full,
+                )
+                return jnp.mean(lg).astype(jnp.float32), None
+
+            dep, _ = jax.lax.scan(body, dep0, None, length=length)
+            return dep
+
+        return run
+
+    fence_on = None
+    epoch = 0
+    while epoch < iters:
         if epoch == warmup:
-            timer.start(fence_on=logits)
+            timer.start(fence_on=fence_on)
         is_valid, extra = schedule(epoch)
-        logits = (fwd_full if is_valid else fwd_train)(params, extra)
-        n_timed += epoch >= warmup
-    inference_time = timer.stop(logits, n=max(n_timed, 1))
+        if is_valid or not fuse:
+            fence_on = (fwd_full if is_valid else fwd_train)(params, extra)
+            epoch += 1
+        else:
+            nxt_valid = (
+                ((epoch // valid_step) + 1) * valid_step
+                if valid_step > 0
+                else iters
+            )
+            end = min(iters, nxt_valid, warmup if epoch < warmup else iters)
+            fence_on = multi_fwd(end - epoch)(params, jnp.float32(0.0))
+            epoch = end
+    inference_time = timer.stop(fence_on, n=max(iters - warmup, 1))
 
     # ---- deferred metrics (outside both timed regions) -------------- #
-    losses_host = np.asarray(jnp.stack(losses)).tolist()
+    losses_host = np.asarray(
+        jnp.concatenate([jnp.atleast_1d(l) for l in losses])
+    ).tolist()
     accs = [test_acc(p, e) for p, e in snapshots]
     accs = np.asarray(jnp.stack(accs)).tolist() if accs else []
 
