@@ -156,6 +156,8 @@ class HostBinnedEll:
     diag: np.ndarray | None          # (n,) float32 self-loop values (bin order!)
     order: np.ndarray                # (n,) node id at output position i
     identity_order: bool
+    flat_edge: np.ndarray | None = None  # (S,) int64 edge id per slot (pad -> E)
+    n_edges_kept: int = 0                # edges represented (after diag split)
 
 
 def _bell_classes(deg: np.ndarray) -> np.ndarray:
@@ -192,8 +194,13 @@ def build_binned_ell(
     g: HostCSR,
     phantom_col: int | None = None,
     split_diag: bool = True,
+    with_edge_ids: bool = False,
 ) -> HostBinnedEll:
-    """Vectorized O(E) construction from a dst-sorted HostCSR."""
+    """Vectorized O(E) construction from a dst-sorted HostCSR.
+
+    with_edge_ids additionally records the (post-diag-split) edge id of
+    every slot (pad slots -> E sentinel), which lets a transpose layout
+    map its slots onto forward slots (fused attention backward)."""
     n = g.n_rows
     phantom_col = g.n_cols if phantom_col is None else phantom_col
 
@@ -231,6 +238,7 @@ def build_binned_ell(
 
     flat_cols = np.full(s_total, phantom_col, np.int32)
     flat_vals = np.zeros(s_total, np.float32)
+    flat_edge = np.full(s_total, e, np.int64) if with_edge_ids else None
 
     if e:
         t = np.arange(e, dtype=np.int64) - row_ptr[dst]    # slot within row
@@ -242,12 +250,18 @@ def build_binned_ell(
         flat_cols[slot_s] = src[sl]
         flat_vals[slot_s] = vals[sl]
         # hub class: K_BIG-wide virtual rows
+        slot_b = None
         if n_big:
             bd = dst[is_big]
             vbase = vrow_start[pos_in_bin[bd]]
             slot_b = bin_flat_start[-2] + (vbase + t[is_big] // K_BIG) * K_BIG + t[is_big] % K_BIG
             flat_cols[slot_b] = src[is_big]
             flat_vals[slot_b] = vals[is_big]
+        if with_edge_ids:
+            eids = np.arange(e, dtype=np.int64)
+            flat_edge[slot_s] = eids[sl]
+            if n_big:
+                flat_edge[slot_b] = eids[is_big]
 
     bin_ks, bin_counts, bin_vals = [], [], []
     for b, k in enumerate(BIN_SIZES):
@@ -276,4 +290,6 @@ def build_binned_ell(
         diag=diag,  # GLOBAL node order (applied after output reindexing)
         order=order,
         identity_order=identity,
+        flat_edge=flat_edge,
+        n_edges_kept=e,
     )

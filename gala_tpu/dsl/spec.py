@@ -62,6 +62,9 @@ class PassFlags:
     sparse_rewrites: bool = True
     training_subgraph: bool = True
     train_code_motion: bool = True
+    # TPU-specific pass: fuse the GAT edge-softmax chain into a single
+    # slot-space op (gala_tpu.passes.attention_fusion)
+    attention_fusion: bool = True
 
 
 @dataclasses.dataclass

@@ -63,6 +63,10 @@ class ComputeOp(enum.Enum):
     ONES = "ones"
     EPSILON = "epsilon"
     FULL = "full"
+    # TPU-specific fusion product (gala_tpu.passes.attention_fusion):
+    # SDDVV-add + leaky-relu + edge-softmax + SpMM-with-values as one
+    # slot-space op (gala_tpu.ops.attention)
+    FUSED_ATTENTION = "fused_attention"
 
 
 class CompOpt(enum.Enum):

@@ -104,6 +104,17 @@ def _eval_node(node: ComputeNode, env, params, graphs):
             rb = env.get("_rb", jnp.int32(7))
             return spmm_sampled(g, ins[0], int(k_dyn), ra, rb)
         return spmm(g, ins[0])
+    if op is ComputeOp.FUSED_ATTENTION:
+        g = _graph_for(node, graphs)
+        x, vl, vr = ins[0], ins[1], ins[2]
+        slope = float(node.params[0]) if node.params else 0.2
+        if g.attn is not None:
+            from gala_tpu.ops.attention import attention_aggregate
+
+            return attention_aggregate(g.n_pad, g.c_pad, slope, g.attn, x, vl, vr)
+        # unfused fallback (graph built without the attention layout)
+        logits = leaky_relu(sddvv_add(g, vl, vr), slope)
+        return spmm_ev(g, edge_softmax(g, logits), x)
     if op is ComputeOp.AGGREGATE_EDGE_SUM:
         return sddvv_add(_graph_for(node, graphs), ins[0], ins[1])
     if op is ComputeOp.AGGREGATE_EDGE_MUL:

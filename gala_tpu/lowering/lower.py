@@ -137,11 +137,15 @@ def lower(
         g_host = sample_graph_ab(g_host, int(spec.compute.sample))
 
     # graphs with learned per-edge values (GAT) need the slot->edge-id
-    # permutation only the row-split ELL keeps
+    # permutation only the row-split ELL keeps — unless the attention
+    # chain was fused into the slot-space op (attention_fusion pass)
     edge_vals = any(
         n.op in (ComputeOp.AGGREGATE_EDGE_SUM, ComputeOp.AGGREGATE_EDGE_MUL)
         or (n.op is ComputeOp.AGGREGATE_MUL_SUM and len(n.inputs) >= 3)
         for n in prog.all_nodes()
+    )
+    attention = any(
+        n.op is ComputeOp.FUSED_ATTENTION for n in prog.all_nodes()
     )
     if strategy == "auto":
         from gala_tpu.ops.graph import choose_strategy
@@ -158,14 +162,16 @@ def lower(
         from gala_tpu.data.ell import bell_order
         from gala_tpu.data.reordering import apply_reorder
 
-        order = bell_order(g_host)
+        # fused attention keeps self loops as slots, so its class order
+        # is computed without the diagonal split
+        order = bell_order(g_host, split_diag=not attention)
         g_host, feats, labels, masks, _ = apply_reorder(
             g_host, order, feats, labels, masks
         )
 
     full_g = Graph.from_host(
         g_host, strategy=strategy, undirected=spec.graph.undirected,
-        edge_vals=edge_vals,
+        edge_vals=edge_vals, attention=attention,
     )
     n_layers = spec.num_layers
     full_graphs = [full_g] * n_layers
@@ -174,7 +180,10 @@ def lower(
     if prog.uses_training_subgraphs:
         subs = mask_subgraphs(g_host, masks["train"], n_layers)
         train_graphs = [
-            Graph.from_host(s, strategy=full_g.strategy, undirected=False)
+            Graph.from_host(
+                s, strategy=full_g.strategy, undirected=False,
+                attention=attention,
+            )
             for s in subs
         ]
 

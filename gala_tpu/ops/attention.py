@@ -1,0 +1,328 @@
+"""Fused slot-space graph attention (the TPU-native GAT hot path).
+
+Replaces the edge-centric chain the reference generates for GAT —
+SDDVV-add logits, leaky-relu, per-destination edge softmax, SpMM with
+the softmax values (reference: src/codegen/cuda.h:504-953 kernels and
+their autograd wrappers, src/codegen/common.h:700-1084) — with ONE
+fused op over the binned-ELL slot layout (gala_tpu/data/ell.py):
+
+- the src-side attention term `vl` rides as an extra feature column, so
+  scores and aggregation share a single row gather (the dominant cost:
+  the measured XLA gather rate is per-row, independent of row width);
+- softmax over each destination's neighbors is a *dense masked softmax*
+  per degree-class bin (one virtual row per node) — no segment scatter;
+  hub nodes (deg > 128) use a small segmented softmax across their
+  virtual rows;
+- the backward pass RECOMPUTES attention in the transpose layout from
+  node-sized tables (saved per-node softmax max/denominator and the
+  p·dp row sums), because gathers from slot-sized tables run ~10x
+  slower than from node-sized tables on the v5e — one fast gather of
+  [dout | vr | m | s | sds] rows replaces any slot permutation.
+
+Cost per GAT layer ~= one GCN aggregation each way + a few extra
+feature columns.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gala_tpu.data.csr import HostCSR
+from gala_tpu.data.ell import build_binned_ell
+from gala_tpu.ops.graph import BellDev
+
+_NEG = -1e30
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _lrelu(z, slope):
+    return jnp.where(z > 0, z, slope * z)
+
+
+# --------------------------------------------------------------------------- #
+# host build
+# --------------------------------------------------------------------------- #
+def build_attention_bell(g: HostCSR):
+    """(forward layout, transpose layout).
+
+    Self loops stay in the layout (GAT attends over neighbors + self, the
+    reference keeps them as ordinary edges)."""
+    hb = build_binned_ell(g, split_diag=False)
+
+    order_t = np.argsort(g.src, kind="stable")
+    counts = np.bincount(g.src, minlength=g.n_cols)
+    rp = np.zeros(g.n_cols + 1, np.int64)
+    np.cumsum(counts, out=rp[1:])
+    gt = HostCSR(
+        n_rows=g.n_cols, n_cols=g.n_rows, row_ptr=rp,
+        dst=g.src[order_t].astype(np.int32),
+        src=g.dst[order_t].astype(np.int32),
+        vals=g.vals[order_t],
+    )
+    hbt = build_binned_ell(gt, split_diag=False)
+    return hb, hbt
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class AttnBell:
+    """Device arrays of the fused-attention layout."""
+
+    fwd: BellDev
+    t: BellDev
+    rows: jax.Array | None    # (n_real,) node id per fwd bin position; None = identity
+    t_rows: jax.Array | None  # (c_real,) node id per t bin position; None = identity
+
+    def tree_flatten(self):
+        return (self.fwd, self.t, self.rows, self.t_rows), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_host(cls, g: HostCSR, n_pad: int, c_pad: int) -> "AttnBell":
+        hb, hbt = build_attention_bell(g)
+        return cls(
+            fwd=BellDev.from_host(hb, n_pad, g.n_rows),
+            t=BellDev.from_host(hbt, c_pad, g.n_cols),
+            rows=None if hb.identity_order else jnp.asarray(hb.order.astype(np.int32)),
+            t_rows=None if hbt.identity_order else jnp.asarray(hbt.order.astype(np.int32)),
+        )
+
+
+# --------------------------------------------------------------------------- #
+# device op
+# --------------------------------------------------------------------------- #
+def _assemble(parts, bell, n_pad, f, dtype):
+    """Concat bin-order parts and map to global padded node order."""
+    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    if bell.out_index is not None:
+        out = jnp.concatenate([out, jnp.zeros((1, f), dtype)], axis=0)
+        return out[bell.out_index]
+    pad = n_pad - out.shape[0]
+    if pad > 0:
+        out = jnp.concatenate([out, jnp.zeros((pad, f), dtype)], axis=0)
+    return out
+
+
+def _attn_fwd_raw(ab: AttnBell, x, vl, vr, slope, n_pad):
+    f = x.shape[1]
+    b = ab.fwd
+    xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
+    gth = xx[b.flat_cols]                                   # (S, F+1) — hot
+    vr_bin = vr if ab.rows is None else vr[ab.rows]         # (>=n_real, 1)
+
+    parts, probs, ms, ss, off, r0 = [], [], [], [], 0, 0
+    for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
+        seg = jax.lax.slice_in_dim(gth, off, off + nb * k).reshape(nb, k, f + 1)
+        z = seg[..., f].astype(jnp.float32) + vr_bin[r0 : r0 + nb].astype(jnp.float32)
+        z = _lrelu(z, slope)
+        z = jnp.where(w != 0, z, _NEG)
+        m = jnp.maximum(jnp.max(z, axis=1, keepdims=True), _NEG / 2)
+        p = jnp.where(w != 0, jnp.exp(z - m), 0.0)
+        s = jnp.sum(p, axis=1, keepdims=True)
+        s = jnp.where(s > 0, s, 1.0)
+        p = p / s
+        parts.append(
+            jnp.einsum(
+                "vk,vkf->vf", p.astype(x.dtype), seg[..., :f],
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+        probs.append(p)
+        ms.append(m)
+        ss.append(s)
+        off += nb * k
+        r0 += nb
+    if b.n_big:
+        vb, kb = b.big_vals.shape
+        seg = jax.lax.slice_in_dim(gth, off, off + vb * kb).reshape(vb, kb, f + 1)
+        vr_big = vr_bin[r0 + b.big_vrow].astype(jnp.float32)    # (vb, 1)
+        z = _lrelu(seg[..., f].astype(jnp.float32) + vr_big, slope)
+        z = jnp.where(b.big_vals != 0, z, _NEG)
+        # max/sum across a hub node's virtual rows (tiny segment ops)
+        m = jax.ops.segment_max(
+            jnp.max(z, axis=1), b.big_vrow,
+            num_segments=b.n_big, indices_are_sorted=True,
+        )
+        m = jnp.maximum(m, _NEG / 2)
+        p = jnp.where(b.big_vals != 0, jnp.exp(z - m[b.big_vrow][:, None]), 0.0)
+        s = jax.ops.segment_sum(
+            jnp.sum(p, axis=1), b.big_vrow,
+            num_segments=b.n_big, indices_are_sorted=True,
+        )
+        s = jnp.where(s > 0, s, 1.0)
+        p = p / s[b.big_vrow][:, None]
+        part = jnp.einsum(
+            "vk,vkf->vf", p.astype(x.dtype), seg[..., :f],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        parts.append(
+            jax.ops.segment_sum(
+                part, b.big_vrow, num_segments=b.n_big, indices_are_sorted=True
+            )
+        )
+        probs.append(p)
+        ms.append(m[:, None])
+        ss.append(s[:, None])
+        off += vb * kb
+    out = _assemble(parts, b, n_pad, f, x.dtype)
+    # per-node softmax stats in GLOBAL order (node-sized backward tables)
+    m_node = _assemble(ms, b, n_pad, 1, jnp.float32)
+    s_node = _assemble(ss, b, n_pad, 1, jnp.float32)
+    return out, gth, probs, vr_bin, m_node, s_node
+
+
+def _attn_bwd_raw(ab: AttnBell, x, vl, vr, gth, probs, vr_bin, m_node, s_node,
+                  slope, dout, c_pad):
+    f1 = gth.shape[1]
+    f = f1 - 1
+    b = ab.fwd
+
+    dout_bin = dout if ab.rows is None else dout[ab.rows]
+
+    # ---- pass 1 (forward layout, no gathers): dvr and the per-node
+    # softmax-backward row sums sds[r] = sum_s p_s * dp_s ---------------- #
+    dvr_parts, sds_parts, off, r0, pi = [], [], 0, 0, 0
+    for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
+        seg = jax.lax.slice_in_dim(gth, off, off + nb * k).reshape(nb, k, f1)
+        p = probs[pi]
+        do = dout_bin[r0 : r0 + nb].astype(jnp.float32)         # (nb, f)
+        # multiply+reduce, NOT einsum: a (nb, k, f) x (nb, f) einsum
+        # lowers to nb tiny batched matmuls, catastrophic on the MXU
+        dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
+        sds = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = p * (dp - sds)
+        zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 : r0 + nb].astype(jnp.float32)
+        dz = ds * jnp.where(zpre > 0, 1.0, slope)
+        dvr_parts.append(jnp.sum(dz, axis=1, keepdims=True))
+        sds_parts.append(sds)
+        off += nb * k
+        r0 += nb
+        pi += 1
+    if b.n_big:
+        vb, kb = b.big_vals.shape
+        seg = jax.lax.slice_in_dim(gth, off, off + vb * kb).reshape(vb, kb, f1)
+        p = probs[pi]
+        do = dout_bin[r0 + b.big_vrow].astype(jnp.float32)       # (vb, f)
+        dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
+        sds = jax.ops.segment_sum(
+            jnp.sum(p * dp, axis=1), b.big_vrow,
+            num_segments=b.n_big, indices_are_sorted=True,
+        )[:, None]
+        ds = p * (dp - sds[b.big_vrow][:, 0][:, None])
+        zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 + b.big_vrow].astype(jnp.float32)
+        dz = ds * jnp.where(zpre > 0, 1.0, slope)
+        dvr_parts.append(
+            jax.ops.segment_sum(
+                jnp.sum(dz, axis=1, keepdims=True), b.big_vrow,
+                num_segments=b.n_big, indices_are_sorted=True,
+            )
+        )
+        sds_parts.append(sds)
+    n_pad = dout.shape[0]
+    dvr = _assemble(dvr_parts, b, n_pad, 1, jnp.float32)
+    sds_node = _assemble(sds_parts, b, n_pad, 1, jnp.float32)
+
+    # ---- pass 2 (transpose layout): recompute p and dz per transpose
+    # slot from node-sized tables, reduce densely --------------------- #
+    t = ab.t
+    w_tab = jnp.concatenate(
+        [dout.astype(jnp.float32), vr.astype(jnp.float32),
+         m_node, s_node, sds_node],
+        axis=1,
+    )                                                            # (n_pad, f+4)
+    g2 = w_tab[t.flat_cols]                                      # (St, f+4) — hot
+    vl_t = vl.astype(jnp.float32) if ab.t_rows is None else vl[ab.t_rows].astype(jnp.float32)
+    x_t = x.astype(jnp.float32) if ab.t_rows is None else x[ab.t_rows].astype(jnp.float32)
+
+    def slot_grads(seg, vl_c, x_c, w):
+        """seg: (nb, k, f+4) gathered [dout|vr|m|s|sds] rows of the slot's
+        destination r; vl_c/x_c: (nb, 1)/(nb, f) this t-row's (= source
+        node c) values; w: (nb, k) slot mask."""
+        do = seg[..., :f]
+        vr_g, m_g, s_g, sds_g = (seg[..., f + i] for i in range(4))
+        zpre = vl_c + vr_g                                        # (nb, k)
+        z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
+        p = jnp.where(w != 0, jnp.exp(z - m_g) / s_g, 0.0)
+        dp = jnp.sum(do * x_c[:, None, :], axis=-1)               # <dout[r], x[c]>
+        ds = p * (dp - sds_g)
+        dz = ds * jnp.where(zpre > 0, 1.0, slope)
+        dx_c = jnp.sum(p[..., None] * do, axis=1)                 # (nb, f)
+        dvl_c = jnp.sum(dz, axis=1, keepdims=True)                # (nb, 1)
+        return jnp.concatenate([dx_c, dvl_c], axis=1)
+
+    parts, off, r0 = [], 0, 0
+    for k, nb, w in zip(t.bin_ks, t.bin_counts, t.bin_vals):
+        seg = jax.lax.slice_in_dim(g2, off, off + nb * k).reshape(nb, k, f + 4)
+        parts.append(
+            slot_grads(seg, vl_t[r0 : r0 + nb], x_t[r0 : r0 + nb], w)
+        )
+        off += nb * k
+        r0 += nb
+    if t.n_big:
+        vb, kb = t.big_vals.shape
+        seg = jax.lax.slice_in_dim(g2, off, off + vb * kb).reshape(vb, kb, f + 4)
+        rowsel = r0 + t.big_vrow
+        dgv = slot_grads(seg, vl_t[rowsel], x_t[rowsel], t.big_vals)
+        parts.append(
+            jax.ops.segment_sum(
+                dgv, t.big_vrow, num_segments=t.n_big, indices_are_sorted=True
+            )
+        )
+    dxx = _assemble(parts, t, c_pad, f1, jnp.float32)
+    return dxx[:, :f], dxx[:, f:], dvr
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def attention_aggregate(n_pad, c_pad, slope, ab: AttnBell, x, vl, vr):
+    """out = softmax-attention aggregation (single head).
+
+    score(e: c->r) = leaky_relu(vl[c] + vr[r]); per-destination softmax;
+    out[r] = sum_c p(e) * x[c].  vl: (c_pad, 1), vr: (n_pad, 1)."""
+    out, *_ = _attn_fwd_raw(ab, x, vl, vr, slope, n_pad)
+    return out
+
+
+def _attn_fwd(n_pad, c_pad, slope, ab, x, vl, vr):
+    out, gth, probs, vr_bin, m_node, s_node = _attn_fwd_raw(
+        ab, x, vl, vr, slope, n_pad
+    )
+    return out, (ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node)
+
+
+def _attn_bwd(n_pad, c_pad, slope, res, dout):
+    ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node = res
+    dx, dvl, dvr = _attn_bwd_raw(
+        ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node, slope, dout, c_pad
+    )
+
+    def zct(b):
+        return dataclasses.replace(
+            b,
+            flat_cols=_float0_like(b.flat_cols),
+            bin_vals=tuple(jnp.zeros_like(v) for v in b.bin_vals),
+            big_vals=jnp.zeros_like(b.big_vals) if b.big_vals is not None else None,
+            big_vrow=_float0_like(b.big_vrow) if b.big_vrow is not None else None,
+            diag=jnp.zeros_like(b.diag) if b.diag is not None else None,
+            out_index=_float0_like(b.out_index) if b.out_index is not None else None,
+        )
+
+    dab = AttnBell(
+        fwd=zct(ab.fwd),
+        t=zct(ab.t),
+        rows=_float0_like(ab.rows) if ab.rows is not None else None,
+        t_rows=_float0_like(ab.t_rows) if ab.t_rows is not None else None,
+    )
+    return (dab, dx.astype(x.dtype), dvl.astype(vl.dtype), dvr.astype(vr.dtype))
+
+
+attention_aggregate.defvjp(_attn_fwd, _attn_bwd)

@@ -140,6 +140,8 @@ class Graph:
     # binned ELL layout (strategy 'bell'; see gala_tpu.data.ell)
     bell: "BellDev | None"
     t_bell: "BellDev | None"
+    # fused slot-space attention layout (gala_tpu.ops.attention)
+    attn: object | None
 
     # --- static aux ---
     n_nodes: int            # real node count
@@ -160,7 +162,7 @@ class Graph:
             self.row_ptr, self.t_row_ptr,
             self.ell_cols, self.ell_vals, self.ell_vrow, self.ell_perm,
             self.t_ell_cols, self.t_ell_vals, self.t_ell_vrow, self.t_ell_perm,
-            self.bell, self.t_bell,
+            self.bell, self.t_bell, self.attn,
         )
         aux = (
             self.n_nodes, self.n_cols, self.n_pad, self.c_pad,
@@ -180,6 +182,7 @@ class Graph:
         strategy: str = "auto",
         undirected: bool | None = None,
         edge_vals: bool = False,
+        attention: bool = False,
     ) -> "Graph":
         if undirected is None:
             undirected = is_symmetric(g)
@@ -230,6 +233,12 @@ class Graph:
             d = np.zeros((n_pad, c_pad), np.float32)
             d[: n, : c] = densify(g)
             a_dense = jnp.asarray(d)
+
+        attn = None
+        if attention and strategy == "bell":
+            from gala_tpu.ops.attention import AttnBell
+
+            attn = AttnBell.from_host(g, n_pad, c_pad)
 
         bell = t_bell = None
         if strategy == "bell":
@@ -293,6 +302,7 @@ class Graph:
             t_ell_perm=jnp.asarray(t_ell.perm) if t_ell else None,
             bell=bell,
             t_bell=t_bell,
+            attn=attn,
             n_nodes=n,
             n_cols=c,
             n_pad=n_pad,

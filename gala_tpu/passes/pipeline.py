@@ -30,4 +30,8 @@ def run_passes(prog: Program, spec: ModelSpec, mode: str = "train") -> Program:
         prog = training_invariant_code_motion(prog)
     if train and spec.passes.training_subgraph:
         prog = training_subgraph(prog)
+    if getattr(spec.passes, "attention_fusion", True):
+        from gala_tpu.passes.attention_fusion import attention_fusion
+
+        prog = attention_fusion(prog)
     return prog

@@ -195,61 +195,27 @@ def train(
         extra = epoch_inputs(epoch) if epoch_inputs else {}
         return is_valid, extra
 
-    # ---- parallel compile warmup: on remote-compile platforms (axon)
-    # each executable costs ~1 min to build; build all five at once --- #
-    extra0 = epoch_inputs(0) if epoch_inputs else {}
-    jobs = [
-        lambda: step_train(params, opt_state, extra0),
-        lambda: step_full(params, opt_state, extra0),
-        lambda: fwd_train(params, extra0),
-        lambda: fwd_full(params, extra0),
-    ]
-    if valid_step > 0:
-        jobs.append(lambda: test_acc(params, extra0))
-    from concurrent.futures import ThreadPoolExecutor
+    def chunk_plan():
+        """Epoch schedule as ('single', epoch) / ('chunk', start, length)
+        items; chunks never cross validation epochs or the warmup
+        boundary (the timer starts there)."""
+        plan = []
+        e = 0
+        while e < iters:
+            is_valid = valid_step > 0 and (e % valid_step == 0)
+            if is_valid or not fuse:
+                plan.append(("single", e, 1))
+                e += 1
+            else:
+                nxt = ((e // valid_step) + 1) * valid_step if valid_step > 0 else iters
+                end = min(iters, nxt, warmup if e < warmup else iters)
+                plan.append(("chunk", e, end - e))
+                e = end
+        return plan
 
-    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-        for f in [ex.submit(j) for j in jobs]:
-            f.result()
+    plan = chunk_plan()
+    chunk_lengths = sorted({ln for kind, _, ln in plan if kind == "chunk"})
 
-    losses, snapshots = [], []
-    mem_mb = 0.0
-    timer = EpochTimer()
-
-    # ---- training phase: enqueue every epoch (validation epochs as
-    # single steps, runs between them as one scanned program), fence
-    # only at the warmup boundary and at the end ---------------------- #
-    loss = None
-    epoch = 0
-    while epoch < iters:
-        if epoch == warmup:
-            timer.start(fence_on=loss)
-            if measure_memory:
-                mem_mb = device_memory_mb()
-        is_valid, extra = schedule(epoch)
-        if is_valid or not fuse:
-            params, opt_state, loss = (step_full if is_valid else step_train)(
-                params, opt_state, extra
-            )
-            losses.append(loss)
-            if is_valid:
-                # parameter snapshot (immutable device arrays, no copy);
-                # accuracy is evaluated after the timed region
-                snapshots.append((params, extra))
-            epoch += 1
-        else:
-            nxt_valid = (
-                ((epoch // valid_step) + 1) * valid_step
-                if valid_step > 0
-                else iters
-            )
-            end = min(iters, nxt_valid, warmup if epoch < warmup else iters)
-            params, opt_state, loss = multi_step(end - epoch)(params, opt_state)
-            losses.append(loss)  # (end-epoch,) per-epoch losses
-            epoch = end
-    total_time = timer.stop(loss, n=max(iters - warmup, 1))
-
-    # ---- inference phase: forward-only epochs, same graph schedule -- #
     @functools.lru_cache(maxsize=None)
     def multi_fwd(length: int):
         @jax.jit
@@ -274,24 +240,64 @@ def train(
 
         return run
 
+    # ---- parallel compile warmup: on remote-compile platforms (axon)
+    # each executable costs ~1 min to build; build all of them at once - #
+    extra0 = epoch_inputs(0) if epoch_inputs else {}
+    jobs = [
+        lambda: step_train(params, opt_state, extra0),
+        lambda: step_full(params, opt_state, extra0),
+        lambda: fwd_train(params, extra0),
+        lambda: fwd_full(params, extra0),
+    ]
+    if valid_step > 0:
+        jobs.append(lambda: test_acc(params, extra0))
+    for ln in chunk_lengths:
+        jobs.append(lambda ln=ln: multi_step(ln)(params, opt_state))
+        jobs.append(lambda ln=ln: multi_fwd(ln)(params, jnp.float32(0.0)))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        for f in [ex.submit(j) for j in jobs]:
+            f.result()
+
+    losses, snapshots = [], []
+    mem_mb = 0.0
+    timer = EpochTimer()
+
+    # ---- training phase: enqueue every epoch (validation epochs as
+    # single steps, runs between them as one scanned program), fence
+    # only at the warmup boundary and at the end ---------------------- #
+    loss = None
+    for kind, epoch, ln in plan:
+        if epoch == warmup:
+            timer.start(fence_on=loss)
+            if measure_memory:
+                mem_mb = device_memory_mb()
+        if kind == "single":
+            is_valid, extra = schedule(epoch)
+            params, opt_state, loss = (step_full if is_valid else step_train)(
+                params, opt_state, extra
+            )
+            losses.append(loss)
+            if is_valid:
+                # parameter snapshot (immutable device arrays, no copy);
+                # accuracy is evaluated after the timed region
+                snapshots.append((params, extra))
+        else:
+            params, opt_state, loss = multi_step(ln)(params, opt_state)
+            losses.append(loss)  # (ln,) per-epoch losses
+    total_time = timer.stop(loss, n=max(iters - warmup, 1))
+
+    # ---- inference phase: forward-only epochs, same graph schedule -- #
     fence_on = None
-    epoch = 0
-    while epoch < iters:
+    for kind, epoch, ln in plan:
         if epoch == warmup:
             timer.start(fence_on=fence_on)
-        is_valid, extra = schedule(epoch)
-        if is_valid or not fuse:
+        if kind == "single":
+            is_valid, extra = schedule(epoch)
             fence_on = (fwd_full if is_valid else fwd_train)(params, extra)
-            epoch += 1
         else:
-            nxt_valid = (
-                ((epoch // valid_step) + 1) * valid_step
-                if valid_step > 0
-                else iters
-            )
-            end = min(iters, nxt_valid, warmup if epoch < warmup else iters)
-            fence_on = multi_fwd(end - epoch)(params, jnp.float32(0.0))
-            epoch = end
+            fence_on = multi_fwd(ln)(params, jnp.float32(0.0))
     inference_time = timer.stop(fence_on, n=max(iters - warmup, 1))
 
     # ---- deferred metrics (outside both timed regions) -------------- #

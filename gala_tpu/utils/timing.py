@@ -63,6 +63,8 @@ class EpochTimer:
         self.t0 = time.perf_counter()
 
     def stop(self, fence_on, n: int = 1) -> float:
+        if self.t0 is None:
+            return 0.0
         fence(fence_on)
         self.seconds = time.perf_counter() - self.t0
         return self.seconds / max(n, 1)
