@@ -38,18 +38,25 @@ class ShardedGraph:
     dst_local: jax.Array  # (S*Es,) int32 dst - shard_row_offset; Es*[r] = phantom
     vals: jax.Array       # (S*Es,) f32, 0 on padding
     deg: jax.Array        # (S*r, 1) f32 in-degrees
+    # halo-exchange layout (comm-optimal path): instead of all_gathering
+    # the full feature matrix, each shard sends only the boundary rows
+    # its peers actually reference (all_to_all over ICI).
+    src_halo: jax.Array   # (S*Es,) int32 into [local rows | halo rows]
+    send_idx: jax.Array   # (S*S, H) int32 local rows shard p sends to q
 
     n_shards: int
     rows_per_shard: int   # r: nodes per shard (padded)
     n_pad: int            # S * r == padded global node count
     n_nodes: int          # real node count
     edges_per_shard: int  # Es
+    halo: int             # H: max boundary rows exchanged per shard pair
 
     def tree_flatten(self):
         return (
-            (self.src, self.dst_local, self.vals, self.deg),
+            (self.src, self.dst_local, self.vals, self.deg,
+             self.src_halo, self.send_idx),
             (self.n_shards, self.rows_per_shard, self.n_pad, self.n_nodes,
-             self.edges_per_shard),
+             self.edges_per_shard, self.halo),
         )
 
     @classmethod
@@ -79,16 +86,57 @@ class ShardedGraph:
         deg = np.zeros((n_pad, 1), np.float32)
         deg[:n, 0] = np.bincount(g.dst, minlength=n)
 
+        # ---- halo layout: per (owner q <- sender p) boundary row lists.
+        # need[s][q] = sorted unique sources shard s reads from shard q.
+        need = []
+        for s in range(n_shards):
+            real = vals[s] != 0
+            srcs = src[s][real]
+            owner = srcs // r
+            need.append([
+                np.unique(srcs[owner == q]) if q != s else np.zeros(0, np.int64)
+                for q in range(n_shards)
+            ])
+        h = max(
+            (len(need[s][q]) for s in range(n_shards) for q in range(n_shards)),
+            default=1,
+        )
+        h = _round_up(max(h, 1), 8)
+        send_idx = np.zeros((n_shards, n_shards, h), np.int32)
+        for p in range(n_shards):
+            for q in range(n_shards):
+                rows = need[q][p] - p * r       # p-local ids q needs
+                send_idx[p, q, : len(rows)] = rows
+        # remap sources into the per-shard [local | halo] table:
+        # owned u -> u - s*r ; remote u (owner q) -> r + q*h + pos(need[s][q], u)
+        src_halo = np.full((n_shards, es), r, np.int32)  # phantom -> a local pad row
+        for s in range(n_shards):
+            real = vals[s] != 0
+            srcs = src[s][real].astype(np.int64)
+            owner = srcs // r
+            local = srcs - s * r
+            for q in range(n_shards):
+                sel = owner == q
+                if q == s or not sel.any():
+                    continue
+                local[sel] = r + q * h + np.searchsorted(need[s][q], srcs[sel])
+            dest = np.full(es, r, np.int64)
+            dest[np.nonzero(real)[0]] = local
+            src_halo[s] = dest.astype(np.int32)
+
         return cls(
             src=jnp.asarray(src.reshape(-1)),
             dst_local=jnp.asarray(dstl.reshape(-1)),
             vals=jnp.asarray(vals.reshape(-1)),
             deg=jnp.asarray(deg),
+            src_halo=jnp.asarray(src_halo.reshape(-1)),
+            send_idx=jnp.asarray(send_idx.reshape(n_shards * n_shards, h)),
             n_shards=n_shards,
             rows_per_shard=r,
             n_pad=n_pad,
             n_nodes=n,
             edges_per_shard=es,
+            halo=h,
         )
 
     def pad_nodes(self, x: np.ndarray) -> jnp.ndarray:

@@ -28,6 +28,28 @@ def spmd_spmm(src, dst_local, vals, x_shard, rows_per_shard):
     return out[:rows_per_shard]
 
 
+def spmd_spmm_halo(src_halo, dst_local, vals, x_shard, send_idx,
+                   rows_per_shard, n_shards, halo):
+    """out_shard = (A @ X) rows owned by this shard, exchanging only the
+    boundary rows peers reference (all_to_all over ICI) instead of
+    all_gathering the full feature matrix.
+
+    send_idx: (S, H) local rows this shard contributes to each peer;
+    src_halo indexes the per-shard [local rows | S*H halo rows] table.
+    Autodiff reverses the all_to_all and turns the gathers into
+    scatter-adds, which is exactly the edge-partitioned backward.
+    """
+    f = x_shard.shape[1]
+    send = x_shard[send_idx.reshape(-1)].reshape(n_shards, halo, f)
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+    table = jnp.concatenate([x_shard, recv.reshape(n_shards * halo, f)], axis=0)
+    msg = vals[:, None] * table[src_halo]
+    out = jax.ops.segment_sum(
+        msg, dst_local, num_segments=rows_per_shard + 1, indices_are_sorted=False
+    )
+    return out[:rows_per_shard]
+
+
 def spmd_spmm_ev(src, dst_local, evals, x_shard, rows_per_shard):
     """SpMM with learned edge values (GAT path), same gather structure."""
     x_full = jax.lax.all_gather(x_shard, AXIS, tiled=True)

@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from gala_tpu.parallel.graph import ShardedGraph
-from gala_tpu.parallel.ops import spmd_spmm
+from gala_tpu.parallel.ops import spmd_spmm, spmd_spmm_halo
 
 
 def init_gcn_params(rng, d_in, d_hidden, d_out):
@@ -55,7 +55,7 @@ def param_specs():
 
 
 def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
-                            lr=0.01, weight_decay=5e-4):
+                            lr=0.01, weight_decay=5e-4, halo=False):
     """Returns (params, opt_state, step_fn, fwd_fn) — all jitted SPMD.
 
     step_fn(params, opt_state, x, y, mask) -> (params, opt_state, loss)
@@ -65,25 +65,35 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
 
     graph_spec = ShardedGraph(
         src=P("data"), dst_local=P("data"), vals=P("data"), deg=P("data"),
+        src_halo=P("data"), send_idx=P("data"),
         n_shards=sg.n_shards, rows_per_shard=r, n_pad=sg.n_pad,
-        n_nodes=sg.n_nodes, edges_per_shard=sg.edges_per_shard,
+        n_nodes=sg.n_nodes, edges_per_shard=sg.edges_per_shard, halo=sg.halo,
     )
     pspecs = param_specs()
 
-    def local_forward(params, src, dstl, vals, deg, x):
+    def aggregate(g, h):
+        if halo:
+            return spmd_spmm_halo(
+                g.src_halo, g.dst_local, g.vals, h, g.send_idx,
+                r, sg.n_shards, sg.halo,
+            )
+        return spmd_spmm(g.src, g.dst_local, g.vals, h, r)
+
+    def local_forward(params, g, x):
         """Runs per-shard inside shard_map: 2-layer GCN."""
+        deg = g.deg
         safe = jnp.where(deg > 0, deg, 1.0)
         norm = jnp.where(deg > 0, jax.lax.rsqrt(safe), 0.0)
         norm = jax.lax.stop_gradient(norm)
 
         h = norm * x
-        h = spmd_spmm(src, dstl, vals, h, r)
+        h = aggregate(g, h)
         h = h @ params["w1"] + params["b1"]          # cols sharded over 'model'
         h = norm * h
         h = jax.nn.relu(h)
 
         h = norm * h
-        h = spmd_spmm(src, dstl, vals, h, r)
+        h = aggregate(g, h)
         h = h @ params["w2"]                          # partial over 'model'
         h = jax.lax.psum(h, "model") + params["b2"]
         h = norm * h
@@ -97,7 +107,7 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         check_rep=False,
     )
     def local_loss(params, g, x, y, mask):
-        logits = local_forward(params, g.src, g.dst_local, g.vals, g.deg, x)
+        logits = local_forward(params, g, x)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
         m = mask.astype(jnp.float32)
@@ -113,7 +123,7 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         check_rep=False,
     )
     def sharded_fwd(params, g, x):
-        return local_forward(params, g.src, g.dst_local, g.vals, g.deg, x)
+        return local_forward(params, g, x)
 
     @jax.jit
     def step_fn(params, opt_state, x, y, mask):

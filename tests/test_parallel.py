@@ -104,3 +104,27 @@ def test_mesh_shapes_compile(n, model_axis, small_dataset):
         )
         params, opt_state, loss = step(params, opt_state, x, y, tm)
         assert np.isfinite(float(loss))
+
+
+def test_halo_matches_all_gather(sharded_setup):
+    """The boundary all_to_all path computes exactly the all_gather path."""
+    mesh, sg, x, y, tm, sm, g_host, feats, labels = sharded_setup
+    p1, o1, step1, fwd1 = make_sharded_train_step(mesh, sg, 24, 16, 5, halo=False)
+    p2, o2, step2, fwd2 = make_sharded_train_step(mesh, sg, 24, 16, 5, halo=True)
+    l1 = np.asarray(fwd1(p1, x))
+    l2 = np.asarray(fwd2(p1, x))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
+    # gradients agree too (all_to_all transpose correct)
+    p1b, o1b, loss1 = step1(p1, o1, x, y, tm)
+    p2b, o2b, loss2 = step2(p1, o1, x, y, tm)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1b), jax.tree_util.tree_leaves(p2b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_halo_volume_bounded(small_dataset):
+    g_host, *_ = small_dataset
+    sg = ShardedGraph.from_host(g_host, n_shards=4)
+    # halo rows per pair never exceed the shard row count
+    assert sg.halo <= sg.rows_per_shard + 8
+    assert sg.send_idx.shape == (16, sg.halo)
