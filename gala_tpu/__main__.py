@@ -1,0 +1,78 @@
+"""Compiler driver CLI — the five reference executables as subcommands.
+
+The reference ships five near-identical driver binaries differing only
+in pass matrix and output flags (reference: tests/gala_inference.cpp,
+gala_inference_long.cpp, gala_inference_sample.cpp, gala_train.cpp,
+gala_train_memory.cpp).  Here:
+
+    python -m gala_tpu inference  model.txt [--iters N] [--data-root D]
+    python -m gala_tpu inference_long   ...   (int64-scale datasets)
+    python -m gala_tpu inference_sample ...   (adds accuracy to the CSV)
+    python -m gala_tpu train            ...   (all passes)
+    python -m gala_tpu train_memory     ...   (adds device-memory MB)
+
+Each prints the reference's stdout CSV contract
+(`inference_time,total_time[,max_acc]` / `memMB,...`,
+reference: src/codegen/common.h:1571-1587).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="gala_tpu")
+    ap.add_argument(
+        "driver",
+        choices=[
+            "inference", "inference_long", "inference_sample",
+            "train", "train_memory",
+        ],
+    )
+    ap.add_argument("model", help="GALA DSL program (.txt)")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--data-root", default=None, help="GALA npy dataset root")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="synthetic-dataset scale when no data root")
+    ap.add_argument("--strategy", default="auto")
+    ap.add_argument("--dtype", default=None, choices=[None, "bf16", "f32"])
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from gala_tpu.api import compile_file
+
+    t0 = time.perf_counter()
+    mode = "train" if args.driver.startswith("train") else "inference"
+    dtype = {None: None, "bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
+
+    cm = compile_file(
+        args.model,
+        mode=mode,
+        data_root=args.data_root,
+        scale=args.scale,
+        strategy=args.strategy,
+        seed=args.seed,
+        dtype=dtype,
+    )
+    # driver-baked flag matrix (reference: the per-executable diffs)
+    if args.driver == "inference_sample":
+        cm.spec.print_accuracy = True
+    if args.driver == "train_memory":
+        cm.spec.print_memory = True
+    if args.driver == "inference_long":
+        cm.spec.use_long = True  # int64-scale bookkeeping (indices stay
+        #                          int32 until graphs exceed 2^31 edges)
+    print(
+        f"# GALA-TPU compile: {time.perf_counter() - t0:.2f}s "
+        f"(reference prints 'Time taken for GALA compilation')",
+        file=sys.stderr,
+    )
+    print(cm.run(iters=args.iters))
+
+
+if __name__ == "__main__":
+    main()

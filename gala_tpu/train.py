@@ -83,10 +83,20 @@ class TrainResult:
 
 def device_memory_mb() -> float:
     """Live device memory in MB (the cudaMemGetInfo analog,
-    reference: src/codegen/cuda.h:1000-1008)."""
+    reference: src/codegen/cuda.h:1000-1008).  Falls back to summing the
+    live jax.Array buffers on platforms without memory_stats (axon)."""
     try:
         stats = jax.devices()[0].memory_stats()
-        return float(stats.get("bytes_in_use", 0)) / 1e6
+        mb = float(stats.get("bytes_in_use", 0)) / 1e6
+        if mb > 0:
+            return mb
+    except Exception:
+        pass
+    try:
+        return sum(
+            np.prod(a.shape) * a.dtype.itemsize
+            for a in jax.live_arrays()
+        ) / 1e6
     except Exception:
         return 0.0
 
