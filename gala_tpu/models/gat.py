@@ -72,6 +72,18 @@ def forward(
             rh = res[:, h * fh : (h + 1) * fh]
             attn_l = linear(params["attn_l"][li], rh)
             attn_r = linear(params["attn_r"][li], rh)
+            if g.attn is not None:
+                # fused slot-space attention (gala_tpu.ops.attention):
+                # one gather per head instead of the edge-centric chain
+                from gala_tpu.ops.attention import attention_aggregate
+
+                h_outs.append(
+                    attention_aggregate(
+                        g.n_pad, g.c_pad, negative_slope, g.attn,
+                        rh, attn_l, attn_r,
+                    )
+                )
+                continue
             attn = sddvv_add(g, attn_l, attn_r)
             attn = leaky_relu(attn, negative_slope)
             vals = edge_softmax(g, attn)

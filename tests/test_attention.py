@@ -114,3 +114,21 @@ def test_gat_fused_vs_unfused_end_to_end(small_dataset):
     np.testing.assert_allclose(
         np.asarray(l1)[:n], np.asarray(l2)[:n][order], rtol=5e-3, atol=5e-3
     )
+
+def test_model_gat_fused_matches_edge_path(attn_graph):
+    """models.gat with the fused layout == the edge-centric path, incl.
+    multi-head."""
+    import dataclasses
+
+    from gala_tpu.models import gat
+
+    g_host, g = attn_graph
+    n = g_host.n_rows
+    g_plain = dataclasses.replace(g, attn=None)
+    rng = np.random.default_rng(2)
+    x = g.pad_nodes(rng.standard_normal((n, 12)).astype(np.float32))
+    for heads in (1, 2):
+        params = gat.init(jax.random.key(0), 12, [8], 5, n_heads=heads)
+        out_f = np.asarray(gat.forward(params, [g, g], x, n_heads=heads))
+        out_p = np.asarray(gat.forward(params, [g_plain, g_plain], x, n_heads=heads))
+        np.testing.assert_allclose(out_f[:n], out_p[:n], rtol=2e-4, atol=2e-4)

@@ -129,3 +129,32 @@ def test_full_reference_corpus_parses():
             spec = parse_source(fh.read())
         assert spec.num_layers > 0, f
         assert spec.layer_ops, f
+
+
+def test_full_reference_corpus_compiles_through_passes():
+    """Every reference DSL program must survive generate_ir + the full
+    pass pipeline in both driver modes (compile-level parity, beyond
+    parse-level)."""
+    import glob
+    import os
+
+    from gala_tpu.ir.build import generate_ir
+    from gala_tpu.ir.compute_ir import ComputeOp
+    from gala_tpu.passes.pipeline import run_passes
+
+    corpus = "/root/reference/tests/GALA-DSL"
+    if not os.path.isdir(corpus):
+        pytest.skip("reference corpus not available")
+    files = sorted(glob.glob(corpus + "/**/*.txt", recursive=True))
+    agg_ops = {
+        ComputeOp.AGGREGATE_MUL_SUM,
+        ComputeOp.FUSED_ATTENTION,
+        ComputeOp.AGGREGATE_MUL_SUM_DIRECT,
+    }
+    for f in files:
+        for mode in ("inference", "train"):
+            spec = parse_source(open(f).read())
+            prog = run_passes(generate_ir(spec), spec, mode=mode)
+            nodes = prog.all_nodes()
+            assert any(n.op in agg_ops for n in nodes), (f, mode)
+            assert prog.loop is not None and prog.loop.iters > 0, (f, mode)
