@@ -169,9 +169,11 @@ def lower(
             g_host, order, feats, labels, masks
         )
 
+    # in-kernel dynamic sampling reads the raw CSR arrays on device
+    keep_edges = True if spec.compute.sample_dynamic else "auto"
     full_g = Graph.from_host(
         g_host, strategy=strategy, undirected=spec.graph.undirected,
-        edge_vals=edge_vals, attention=attention,
+        edge_vals=edge_vals, attention=attention, keep_edges=keep_edges,
     )
     n_layers = spec.num_layers
     full_graphs = [full_g] * n_layers
@@ -182,7 +184,7 @@ def lower(
         train_graphs = [
             Graph.from_host(
                 s, strategy=full_g.strategy, undirected=False,
-                attention=attention,
+                attention=attention, keep_edges=keep_edges,
             )
             for s in subs
         ]

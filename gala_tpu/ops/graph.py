@@ -183,7 +183,14 @@ class Graph:
         undirected: bool | None = None,
         edge_vals: bool = False,
         attention: bool = False,
+        keep_edges: bool | str = "auto",
     ) -> "Graph":
+        """keep_edges: upload the raw (padded) edge lists and transpose
+        permutation.  The bell layout never reads them, and at scale the
+        host->device transfer dominates preprocessing; 'auto' keeps them
+        only for strategies that consume them (edge_vals fallbacks,
+        segment paths, dense spmm_ev, in-kernel sampling — pass True
+        when dynamic sampling is scheduled)."""
         if undirected is None:
             undirected = is_symmetric(g)
 
@@ -198,6 +205,8 @@ class Graph:
 
         if strategy == "auto":
             strategy = choose_strategy(n_pad, c_pad, e_real, edge_vals=edge_vals)
+        if keep_edges == "auto":
+            keep_edges = edge_vals or strategy != "bell"
 
         def pad_edges(dstv, srcv, valsv, phantom_dst, phantom_src):
             pad = e_pad - dstv.shape[0]
@@ -206,16 +215,17 @@ class Graph:
             valsv = np.concatenate([valsv, np.zeros(pad, np.float32)])
             return dstv, srcv, valsv
 
-        dst, src, vals = pad_edges(g.dst, g.src, g.vals, n, 0)
-
-        # transpose graph (backward pass); perm maps transpose edge -> fwd edge
-        gt = host_transpose(g)
-        order = np.lexsort((g.dst.astype(np.int64), g.src.astype(np.int64)))
-        t_dst, t_src, t_vals = pad_edges(g.src[order], g.dst[order], g.vals[order], c, 0)
-        t_perm = np.concatenate(
-            [order, np.full(e_pad - e_real, e_pad - 1, np.int64)]
-        ).astype(np.int32)
-        del gt
+        dst = src = vals = t_dst = t_src = t_vals = t_perm = None
+        if keep_edges:
+            dst, src, vals = pad_edges(g.dst, g.src, g.vals, n, 0)
+            # transpose graph (backward pass); perm maps transpose edge -> fwd
+            order = np.lexsort((g.dst.astype(np.int64), g.src.astype(np.int64)))
+            t_dst, t_src, t_vals = pad_edges(
+                g.src[order], g.dst[order], g.vals[order], c, 0
+            )
+            t_perm = np.concatenate(
+                [order, np.full(e_pad - e_real, e_pad - 1, np.int64)]
+            ).astype(np.int32)
 
         deg_np = np.zeros((n_pad, 1), np.float32)
         deg_np[: n, 0] = np.bincount(g.dst, weights=None, minlength=n).astype(np.float32)
@@ -280,14 +290,17 @@ class Graph:
             t_perm_vals[real] = t_order[t_ell.perm[real]].astype(np.int32)
             t_ell = dataclasses.replace(t_ell, perm=t_perm_vals)
 
+        def put(a):
+            return jnp.asarray(a) if a is not None else None
+
         return cls(
-            src=jnp.asarray(src),
-            dst=jnp.asarray(dst),
-            vals=jnp.asarray(vals),
-            t_src=jnp.asarray(t_src),
-            t_dst=jnp.asarray(t_dst),
-            t_vals=jnp.asarray(t_vals),
-            t_perm=jnp.asarray(t_perm),
+            src=put(src),
+            dst=put(dst),
+            vals=put(vals),
+            t_src=put(t_src),
+            t_dst=put(t_dst),
+            t_vals=put(t_vals),
+            t_perm=put(t_perm),
             a_dense=a_dense,
             deg=jnp.asarray(deg_np),
             row_ptr=jnp.asarray(row_ptr_np),

@@ -419,6 +419,11 @@ def spmm_ev(g: Graph, vals: jax.Array, x: jax.Array) -> jax.Array:
     if g.strategy == "bell":
         # learned edge values need the slot->edge permutation the binned
         # layout does not keep; fall back to the segment path
+        if g.src is None:
+            raise ValueError(
+                "spmm_ev on a 'bell' graph built without edge lists; "
+                "rebuild with keep_edges=True (or edge_vals=True)"
+            )
         return _spmm_ev_seg(
             g.n_pad, g.c_pad, False,
             g.src, g.dst, g.t_src, g.t_dst, g.t_perm, vals, x,

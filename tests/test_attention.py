@@ -24,7 +24,7 @@ def attn_graph():
     key = np.unique(src.astype(np.int64) * n + dst)
     src, dst = key // n, key % n
     g_host = coo_to_csr(src, dst, None, n_rows=n)
-    return g_host, Graph.from_host(g_host, strategy="bell", attention=True)
+    return g_host, Graph.from_host(g_host, strategy="bell", attention=True, keep_edges=True)
 
 
 def _dense_attn(a, x, vl, vr, n):

@@ -16,7 +16,8 @@ STRATEGIES = ["dense", "segment", "segment_scan", "ell", "bell"]
 @pytest.fixture(scope="module", params=STRATEGIES)
 def graph_and_dense(request, small_dataset):
     g_host, *_ = small_dataset
-    g = Graph.from_host(g_host, strategy=request.param)
+    # keep_edges so every strategy can also run the edge-value ops
+    g = Graph.from_host(g_host, strategy=request.param, keep_edges=True)
     return g, densify(g_host)
 
 
