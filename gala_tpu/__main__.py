@@ -41,6 +41,19 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    import os
+
+    if os.environ.get("JAX_PLATFORM_NAME"):
+        # the axon sitecustomize overrides JAX_PLATFORMS; honor an explicit
+        # platform request (e.g. CPU test runs) via the config path, which
+        # wins when applied before the first operation
+        import jax
+
+        try:
+            jax.config.update("jax_platform_name", os.environ["JAX_PLATFORM_NAME"])
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     from gala_tpu.api import compile_file

@@ -195,6 +195,7 @@ def build_binned_ell(
     phantom_col: int | None = None,
     split_diag: bool = True,
     with_edge_ids: bool = False,
+    native_min_edges: int = 2_000_000,
 ) -> HostBinnedEll:
     """Vectorized O(E) construction from a dst-sorted HostCSR.
 
@@ -241,27 +242,33 @@ def build_binned_ell(
     flat_edge = np.full(s_total, e, np.int64) if with_edge_ids else None
 
     if e:
-        t = np.arange(e, dtype=np.int64) - row_ptr[dst]    # slot within row
-        c = cls[dst]
-        is_big = c == n_classes - 1
-        # single-virtual-row classes
-        sl = ~is_big
-        slot_s = bin_flat_start[c[sl]] + pos_in_bin[dst[sl]] * ks[c[sl]] + t[sl]
-        flat_cols[slot_s] = src[sl]
-        flat_vals[slot_s] = vals[sl]
-        # hub class: K_BIG-wide virtual rows
-        slot_b = None
+        # absolute slot of node v's t-th edge is slot_base[v] + t for all
+        # classes (a hub's contiguous virtual rows give
+        # (vbase + t//K)*K + t%K == vbase*K + t)
+        is_big_node = cls == n_classes - 1
+        slot_base = bin_flat_start[cls] + pos_in_bin * ks[cls]
         if n_big:
-            bd = dst[is_big]
-            vbase = vrow_start[pos_in_bin[bd]]
-            slot_b = bin_flat_start[-2] + (vbase + t[is_big] // K_BIG) * K_BIG + t[is_big] % K_BIG
-            flat_cols[slot_b] = src[is_big]
-            flat_vals[slot_b] = vals[is_big]
-        if with_edge_ids:
-            eids = np.arange(e, dtype=np.int64)
-            flat_edge[slot_s] = eids[sl]
-            if n_big:
-                flat_edge[slot_b] = eids[is_big]
+            slot_base[is_big_node] = (
+                bin_flat_start[-2] + vrow_start[pos_in_bin[is_big_node]] * K_BIG
+            )
+        filled = False
+        if e > native_min_edges:
+            from gala_tpu import native
+
+            filled = native.fill_bell_native(
+                np.ascontiguousarray(dst, np.int32),
+                np.ascontiguousarray(src, np.int32),
+                np.ascontiguousarray(vals, np.float32),
+                np.ascontiguousarray(row_ptr, np.int64),
+                np.ascontiguousarray(slot_base, np.int64),
+                flat_cols, flat_vals, flat_edge,
+            )
+        if not filled:
+            slot = slot_base[dst] + (np.arange(e, dtype=np.int64) - row_ptr[dst])
+            flat_cols[slot] = src
+            flat_vals[slot] = vals
+            if with_edge_ids:
+                flat_edge[slot] = np.arange(e, dtype=np.int64)
 
     bin_ks, bin_counts, bin_vals = [], [], []
     for b, k in enumerate(BIN_SIZES):

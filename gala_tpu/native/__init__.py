@@ -60,6 +60,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.fill_bell_i32.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.grow_mask_i8.argtypes = [
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -102,6 +110,24 @@ def coo_to_csr_native(src, dst, vals, n_rows: int):
         _ptr(out_dst, ctypes.c_int32), _ptr(out_vals, ctypes.c_float),
     )
     return row_ptr, out_src, out_dst, out_vals
+
+
+def fill_bell_native(dst, src, csr_vals, row_ptr, slot_base,
+                     cols_flat, vals_flat, edge_flat=None) -> bool:
+    """Parallel binned-ELL slot fill; False when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    e = dst.shape[0]
+    lib.fill_bell_i32(
+        e,
+        _ptr(dst, ctypes.c_int32), _ptr(src, ctypes.c_int32),
+        _ptr(csr_vals, ctypes.c_float),
+        _ptr(row_ptr, ctypes.c_int64), _ptr(slot_base, ctypes.c_int64),
+        _ptr(cols_flat, ctypes.c_int32), _ptr(vals_flat, ctypes.c_float),
+        _ptr(edge_flat, ctypes.c_int64) if edge_flat is not None else None,
+    )
+    return True
 
 
 def fill_ell_native(n_rows, k, row_ptr, src, csr_vals, vstart,

@@ -85,6 +85,26 @@ void fill_ell_i32(
     }
 }
 
+// Binned-ELL fill (gala_tpu/data/ell.py build_binned_ell): the absolute
+// slot of a node's t-th edge is slot_base[node] + t for every class
+// (hub virtual rows are contiguous, so (vbase + t/K)*K + t%K == vbase*K + t).
+// cols/vals (and optionally edge ids) are flat pre-initialized arrays.
+void fill_bell_i32(
+    int64_t n_edges,
+    const int32_t* dst, const int32_t* src, const float* csr_vals,
+    const int64_t* row_ptr, const int64_t* slot_base,
+    int32_t* cols_flat, float* vals_flat, int64_t* edge_flat)
+{
+#pragma omp parallel for
+    for (int64_t i = 0; i < n_edges; ++i) {
+        int32_t v = dst[i];
+        int64_t slot = slot_base[v] + (i - row_ptr[v]);
+        cols_flat[slot] = src[i];
+        vals_flat[slot] = csr_vals[i];
+        if (edge_flat) edge_flat[slot] = i;
+    }
+}
+
 // One hop of train-mask growth: mark sources of edges into masked dsts.
 void grow_mask_i8(
     int64_t n_edges, const int32_t* src, const int32_t* dst,

@@ -112,7 +112,7 @@ def append_csv(path: str, header: str, row: str):
 def job_fig16(args):
     out = os.path.join(args.outdir, "stat_fig16.csv")
     for dataset in args.datasets:
-        for model in MODELS:
+        for model in args.models:
             src = make_dsl(model, dataset, iters=args.iters)
             cm, res = run_one(src, iters=args.iters, scale=args.scale)
             append_csv(
@@ -202,6 +202,7 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0,
                     help="dataset scale fraction (synthetic stand-ins)")
     ap.add_argument("--datasets", nargs="+", default=DATASETS)
+    ap.add_argument("--models", nargs="+", default=MODELS)
     ap.add_argument("--outdir", default="results")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)

@@ -143,3 +143,34 @@ def test_multihead_gat(small_dataset):
         iters=40, warmup=2,
     )
     assert res.max_accuracy > 0.75
+
+
+def test_native_bell_fill_matches_numpy():
+    """The OpenMP binned-ELL fill produces the identical layout."""
+    import numpy as np
+
+    from gala_tpu import native
+    from gala_tpu.data.csr import coo_to_csr
+    from gala_tpu.data.ell import build_binned_ell
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    n, e = 3000, 40000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dst = np.concatenate([dst, np.full(400, 17)])  # hub
+    src = np.concatenate([src, rng.integers(0, n, 400)])
+    key = np.unique(src.astype(np.int64) * n + dst)
+    src, dst = key // n, key % n
+    g = coo_to_csr(src, dst, rng.standard_normal(len(src)).astype(np.float32), n_rows=n)
+    a = build_binned_ell(g, with_edge_ids=True)                       # numpy
+    b = build_binned_ell(g, with_edge_ids=True, native_min_edges=0)   # native
+    np.testing.assert_array_equal(a.flat_cols, b.flat_cols)
+    np.testing.assert_array_equal(a.flat_edge, b.flat_edge)
+    for va, vb in zip(a.bin_vals, b.bin_vals):
+        np.testing.assert_array_equal(va, vb)
+    if a.big_vals is not None:
+        np.testing.assert_array_equal(a.big_vals, b.big_vals)
