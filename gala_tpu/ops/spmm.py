@@ -164,30 +164,69 @@ _spmm_ev_ell.defvjp(_spmm_ev_ell_fwd, _spmm_ev_ell_bwd)
 # --------------------------------------------------------------------------- #
 # binned ELL (strategy 'bell'): scatter-free degree-class SpMM
 # --------------------------------------------------------------------------- #
-def _bell_raw(bell, x, n_out_pad):
-    """One flat gather + per-degree-class dense reductions + hub
-    segment-sum (see gala_tpu.data.ell.build_binned_ell).  Output is in
-    global node order, padded to n_out_pad rows."""
+# elements budget for one gathered (rows, k, F) intermediate: keeps live
+# buffers bounded on big graphs (a single flat (S, F) gather materializes
+# gigabytes at ogbn-products scale and OOMs the 16GB HBM)
+_BELL_CHUNK_ELEMS = 1 << 27
+
+
+def _bell_bin_reduce(cols, vals, x, out_dtype):
+    """sum_k vals[v,k] * x[cols[v,k]] with the gather chunked to a
+    bounded intermediate; per-chunk gathers fuse into their einsum."""
+    nb, k = cols.shape
     f = x.shape[1]
-    gathered = x[bell.flat_cols]                       # (S, F) — the hot op
-    parts = []
-    off = 0
-    for k, nb, vals in zip(bell.bin_ks, bell.bin_counts, bell.bin_vals):
-        seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(nb, k, f)
-        parts.append(
+    rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * f, 1), 1)
+    n_chunks = max(-(-nb // rows_per_chunk), 1)
+    if n_chunks == 1:
+        seg = x[cols]
+        return jnp.einsum(
+            "vk,vkf->vf", vals.astype(x.dtype), seg,
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+    outs = []
+    for c in range(n_chunks):
+        lo = c * rows_per_chunk
+        hi = min(nb, lo + rows_per_chunk)
+        seg = x[jax.lax.slice_in_dim(cols, lo, hi)]
+        outs.append(
             jnp.einsum(
+                "vk,vkf->vf",
+                jax.lax.slice_in_dim(vals, lo, hi).astype(x.dtype), seg,
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+def _bell_raw(bell, x, n_out_pad):
+    """Per-degree-class gathers + dense reductions + hub segment-sum
+    (see gala_tpu.data.ell.build_binned_ell).  Output is in global node
+    order, padded to n_out_pad rows."""
+    f = x.shape[1]
+    s_total = bell.flat_cols.shape[0]
+    # one flat gather when the (S, F) intermediate fits the budget
+    # (fastest); per-bin chunked gathers otherwise (bounded memory)
+    flat = s_total * f <= _BELL_CHUNK_ELEMS
+    gathered = x[bell.flat_cols] if flat else None
+
+    def bin_reduce(off, nb, k, vals):
+        if flat:
+            seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(nb, k, f)
+            return jnp.einsum(
                 "vk,vkf->vf", vals.astype(x.dtype), seg,
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype)
-        )
+        cols = jax.lax.slice_in_dim(bell.flat_cols, off, off + nb * k).reshape(nb, k)
+        return _bell_bin_reduce(cols, vals, x, x.dtype)
+
+    parts = []
+    off = 0
+    for k, nb, vals in zip(bell.bin_ks, bell.bin_counts, bell.bin_vals):
+        parts.append(bin_reduce(off, nb, k, vals))
         off += nb * k
     if bell.n_big:
         vb, kb = bell.big_vals.shape
-        seg = jax.lax.slice_in_dim(gathered, off, off + vb * kb).reshape(vb, kb, f)
-        partial = jnp.einsum(
-            "vk,vkf->vf", bell.big_vals.astype(x.dtype), seg,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        partial = bin_reduce(off, vb, kb, bell.big_vals)
         parts.append(
             jax.ops.segment_sum(
                 partial, bell.big_vrow,

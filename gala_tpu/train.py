@@ -149,28 +149,43 @@ def train(
             return {**carry, **extra}
         return carry
 
+    # graphs and features are jit ARGUMENTS, never closures: closed-over
+    # device arrays become captured constants whose values are shipped
+    # inside every remote compile request (HTTP 413 at ogbn-products
+    # scale, and minutes of upload before that)
+    gs_train = train_graphs if use_sub else full_graphs
+    x_train_eff = x_train if use_sub else x_full
+
     @jax.jit
+    def fwd_any(params, graphs, xc, extra):
+        return forward(params, graphs, _with_extra(xc, extra))
+
     def fwd_full(params, extra):
-        return forward(params, full_graphs, _with_extra(x_full, extra))
+        return fwd_any(params, full_graphs, x_full, extra)
+
+    def fwd_train(params, extra):
+        return fwd_any(params, gs_train, x_train_eff, extra)
+
+    def _loss(params, graphs, xc, y, tm, extra):
+        return masked_cross_entropy(
+            forward(params, graphs, _with_extra(xc, extra)), y, tm
+        )
 
     @jax.jit
-    def fwd_train(params, extra):
-        gs = train_graphs if use_sub else full_graphs
-        return forward(params, gs, _with_extra(x_train if use_sub else x_full, extra))
+    def step_any(params, opt_state, graphs, xc, y, tm, extra):
+        loss, grads = jax.value_and_grad(_loss)(params, graphs, xc, y, tm, extra)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
 
-    def _step(fwd):
-        def step(params, opt_state, extra):
-            def loss_fn(p):
-                return masked_cross_entropy(fwd(p, extra), labels, train_mask)
+    def step_train(params, opt_state, extra):
+        return step_any(
+            params, opt_state, gs_train, x_train_eff, labels, train_mask, extra
+        )
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state2 = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state2, loss
-
-        return jax.jit(step)
-
-    step_train = _step(fwd_train)
-    step_full = _step(fwd_full)
+    def step_full(params, opt_state, extra):
+        return step_any(
+            params, opt_state, full_graphs, x_full, labels, train_mask, extra
+        )
 
     # ---- fused epoch runs: a lax.scan of training steps per dispatch.
     # Each dispatch through the runtime costs ~1.2ms wall (measured,
@@ -182,21 +197,30 @@ def train(
 
     @functools.lru_cache(maxsize=None)
     def multi_step(length: int):
-        @jax.jit
-        def run(params, opt_state):
+        @functools.partial(jax.jit, static_argnums=())
+        def run(params, opt_state, graphs, xc, y, tm):
             def body(carry, _):
                 p, o = carry
-                p, o, l = step_train(p, o, {})
-                return (p, o), l
+                loss, grads = jax.value_and_grad(_loss)(p, graphs, xc, y, tm, {})
+                updates, o2 = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o2), loss
 
             (p, o), ls = jax.lax.scan(body, (params, opt_state), None, length=length)
             return p, o, ls
 
-        return run
+        def call(params, opt_state):
+            return run(params, opt_state, gs_train, x_train_eff, labels, train_mask)
+
+        return call
 
     @jax.jit
+    def _acc_any(params, graphs, xc, y, sm, extra):
+        return masked_accuracy(
+            forward(params, graphs, _with_extra(xc, extra)), y, sm
+        )
+
     def test_acc(params, extra):
-        return masked_accuracy(fwd_full(params, extra), labels, test_mask)
+        return _acc_any(params, full_graphs, x_full, labels, test_mask, extra)
 
     from gala_tpu.utils.timing import EpochTimer
 
@@ -229,7 +253,7 @@ def train(
     @functools.lru_cache(maxsize=None)
     def multi_fwd(length: int):
         @jax.jit
-        def run(params, dep0):
+        def run(params, dep0, graphs, xc):
             def body(dep, _):
                 # thread a tiny dependency through one parameter leaf so
                 # XLA cannot hoist the loop-invariant forward out of the
@@ -238,17 +262,16 @@ def train(
                 leaves, treedef = jax.tree_util.tree_flatten(params)
                 leaves = [leaves[0] + (dep * 1e-38).astype(leaves[0].dtype)] + leaves[1:]
                 p = jax.tree_util.tree_unflatten(treedef, leaves)
-                lg = forward(
-                    p,
-                    train_graphs if use_sub else full_graphs,
-                    x_train if use_sub else x_full,
-                )
+                lg = forward(p, graphs, xc)
                 return jnp.mean(lg).astype(jnp.float32), None
 
             dep, _ = jax.lax.scan(body, dep0, None, length=length)
             return dep
 
-        return run
+        def call(params, dep0):
+            return run(params, dep0, gs_train, x_train_eff)
+
+        return call
 
     # ---- parallel compile warmup: on remote-compile platforms (axon)
     # each executable costs ~1 min to build; build all of them at once - #

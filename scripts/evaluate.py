@@ -159,7 +159,7 @@ def job_fig20(args):
 
 def job_table6(args):
     out = os.path.join(args.outdir, "stat_table6.csv")
-    for frac in [0.01, 0.02, 0.05, 0.1, 0.2]:
+    for frac in args.fractions:
         src = make_dsl("gcn", "Products")
         cm, res = run_one(src, iters=args.iters, scale=frac * args.scale)
         append_csv(
@@ -203,6 +203,8 @@ def main():
                     help="dataset scale fraction (synthetic stand-ins)")
     ap.add_argument("--datasets", nargs="+", default=DATASETS)
     ap.add_argument("--models", nargs="+", default=MODELS)
+    ap.add_argument("--fractions", nargs="+", type=float,
+                    default=[0.01, 0.02, 0.05, 0.1, 0.2])
     ap.add_argument("--outdir", default="results")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
