@@ -123,8 +123,8 @@ def job_fig16(args):
 
 def job_fig18(args):
     out = os.path.join(args.outdir, "stat_fig18.csv")
-    for layers in [2, 3, 4, 8]:
-        for hidden in [32, 64, 128, 256, 512, 1024]:
+    for layers in args.layers:
+        for hidden in args.hidden:
             src = make_dsl("gcn", args.datasets[0], layers=layers, hidden=hidden)
             cm, res = run_one(src, iters=args.iters, scale=args.scale)
             append_csv(
@@ -205,6 +205,9 @@ def main():
     ap.add_argument("--models", nargs="+", default=MODELS)
     ap.add_argument("--fractions", nargs="+", type=float,
                     default=[0.01, 0.02, 0.05, 0.1, 0.2])
+    ap.add_argument("--layers", nargs="+", type=int, default=[2, 3, 4, 8])
+    ap.add_argument("--hidden", nargs="+", type=int,
+                    default=[32, 64, 128, 256, 512, 1024])
     ap.add_argument("--outdir", default="results")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
