@@ -7,6 +7,7 @@ ports: each run appends `dataset,model,<numbers>` rows to stat_<job>.csv.
 
 Jobs:
   fig16   inference+training time, 4 models x datasets
+  table5  CIR-vs-DIR optimization breakdown {none,cir,dir,all}
   fig18   scalability: layers {2,3,4,8} x hidden {32..1024}, GCN
   fig19   memory vs time (print_memory mode)
   fig20   input-aware (opt_input) vs hand-tuned schedules
@@ -157,6 +158,35 @@ def job_fig20(args):
             )
 
 
+def job_table5(args):
+    """CIR-vs-DIR optimization breakdown (reference: Table-5.py +
+    tests/GALA-DSL/ablations/speedups/cir-vs-dir/).  Variant mapping to
+    this stack: 'none' = XLA segment baseline with all passes off (the
+    reference's coarsen=1 default-kernel build); 'cir' = compute
+    transform on (coarsened kernels -> binned-ELL); 'dir' = data
+    transform on (ordered column tiling -> chunked segment_scan);
+    'all' = both + operator_reordering/sparse_rewrites enabled."""
+    out = os.path.join(args.outdir, "stat_table5.csv")
+    OFF4 = ("operator_reordering(false);\nsparse_rewrites(false);\n"
+            "training_subgraph(false);\ntrain_code_motion(false);\n")
+    OFF2 = "training_subgraph(false);\ntrain_code_motion(false);\n"
+    variants = [
+        ("none", OFF4, "segment"),
+        ("cir", "aggrFn=aggrFn.coarsen(2);\n" + OFF4, "bell"),
+        ("dir", "G=G.col_tile(37000);\n" + OFF4, "segment_scan"),
+        ("all", "aggrFn=aggrFn.coarsen(2);\nG=G.col_tile(37000);\n" + OFF2, "bell"),
+    ]
+    for dataset in args.datasets:
+        for label, sched, strat in variants:
+            src = make_dsl("gcn", dataset, schedule=sched)
+            cm, res = run_one(src, mode="inference", iters=args.iters,
+                              scale=args.scale, strategy=strat)
+            append_csv(
+                out, "dataset,opts,inference_time,total_time",
+                f"{dataset},{label},{res.inference_time},{res.total_time}",
+            )
+
+
 def job_table6(args):
     out = os.path.join(args.outdir, "stat_table6.csv")
     for frac in args.fractions:
@@ -187,6 +217,7 @@ def job_table7(args):
 
 JOBS = {
     "fig16": job_fig16,
+    "table5": job_table5,
     "fig18": job_fig18,
     "fig19": job_fig19,
     "fig20": job_fig20,
@@ -209,7 +240,15 @@ def main():
     ap.add_argument("--hidden", nargs="+", type=int,
                     default=[32, 64, 128, 256, 512, 1024])
     ap.add_argument("--outdir", default="results")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu); set before "
+                         "any jax op since JAX_PLATFORMS is ignored "
+                         "under the axon tunnel")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platform_name", args.platform)
     os.makedirs(args.outdir, exist_ok=True)
     JOBS[args.job](args)
 
