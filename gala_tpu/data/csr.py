@@ -177,6 +177,55 @@ def pad_edges(g: HostCSR, multiple: int = 128) -> tuple[HostCSR, int]:
     )
 
 
+@dataclasses.dataclass
+class HostDCSR:
+    """Doubly-compressed CSR: row pointers only for non-empty rows.
+
+    The reference's DCSR (reference: src/formats/csrc_matrix.h
+    `import_dcsr`, CMake `SM_TYPE=3`/`C_COMP`) compresses away empty
+    rows — profitable for hypersparse tiles and mask-grown training
+    subgraphs where most rows have no edges.  On TPU the binned-ELL
+    layout already skips empty rows on device, so this stays a host
+    format (IO / analysis / memory-bounded preprocessing).
+    """
+
+    n_rows: int              # logical row count (uncompressed space)
+    n_cols: int
+    rows: np.ndarray         # (nzr,) int32 non-empty row ids, ascending
+    row_ptr: np.ndarray      # (nzr+1,) offsets over the edge arrays
+    src: np.ndarray          # (E,) int32
+    vals: np.ndarray         # (E,) float32
+
+    @property
+    def n_edges(self) -> int:
+        return int(self.src.shape[0])
+
+
+def to_dcsr(g: HostCSR) -> HostDCSR:
+    """Compress empty rows out of the row-pointer array (CSR -> DCSR)."""
+    deg = np.diff(g.row_ptr)
+    rows = np.flatnonzero(deg).astype(np.int32)
+    rp = np.zeros(rows.shape[0] + 1, np.int64)
+    np.cumsum(deg[rows], out=rp[1:])
+    return HostDCSR(
+        n_rows=g.n_rows, n_cols=g.n_cols, rows=rows, row_ptr=rp,
+        src=g.src.copy(), vals=g.vals.copy(),
+    )
+
+
+def from_dcsr(d: HostDCSR) -> HostCSR:
+    """Re-expand a DCSR into the canonical dst-sorted CSR."""
+    deg = np.zeros(d.n_rows, np.int64)
+    deg[d.rows] = np.diff(d.row_ptr)
+    rp = np.zeros(d.n_rows + 1, np.int64)
+    np.cumsum(deg, out=rp[1:])
+    dst = np.repeat(d.rows.astype(np.int32), np.diff(d.row_ptr))
+    return HostCSR(
+        n_rows=d.n_rows, n_cols=d.n_cols, row_ptr=rp, dst=dst,
+        src=d.src.copy(), vals=d.vals.copy(),
+    )
+
+
 def densify(g: HostCSR) -> np.ndarray:
     """Dense (n_rows, n_cols) float32 adjacency — the MXU execution path
     for small graphs (strategy selection in gala_tpu.ops.spmm)."""

@@ -5,6 +5,8 @@ set -x
 cd /root/repo
 # fig18 scalability grid, remaining layer counts
 python scripts/evaluate.py --job fig18 --datasets Arxiv --outdir results_r1 \
+    --layers 2 --hidden 1024 --iters 30
+python scripts/evaluate.py --job fig18 --datasets Arxiv --outdir results_r1 \
     --layers 3 4 --hidden 32 64 128 256 512 1024 --iters 30
 python scripts/evaluate.py --job fig18 --datasets Arxiv --outdir results_r1 \
     --layers 8 --hidden 32 64 128 256 512 1024 --iters 30

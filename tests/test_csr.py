@@ -66,3 +66,22 @@ def test_pad_edges_static_shape():
 def test_densify_duplicate_edges_accumulate():
     g = coo_to_csr(np.array([0, 0]), np.array([1, 1]), np.array([2.0, 3.0]), 2)
     assert densify(g)[1, 0] == 5.0
+
+
+def test_dcsr_round_trip():
+    from gala_tpu.data.csr import HostCSR, coo_to_csr, from_dcsr, to_dcsr
+
+    rng = np.random.default_rng(3)
+    n = 64
+    src = rng.integers(0, n, 200).astype(np.int32)
+    # leave rows 0..19 empty so compression is non-trivial
+    dst = rng.integers(20, n, 200).astype(np.int32)
+    g = coo_to_csr(src, dst, rng.random(200).astype(np.float32), n, n)
+    d = to_dcsr(g)
+    assert d.rows.shape[0] < n
+    assert d.n_edges == g.n_edges
+    g2 = from_dcsr(d)
+    np.testing.assert_array_equal(g2.row_ptr, g.row_ptr)
+    np.testing.assert_array_equal(g2.dst, g.dst)
+    np.testing.assert_array_equal(g2.src, g.src)
+    np.testing.assert_allclose(g2.vals, g.vals)
