@@ -78,10 +78,13 @@ def _eval_node(node: ComputeNode, env, params, graphs):
     ins = [env[d.uid] for d in node.inputs if d.uid in env]
     op = node.op
 
+    # node-sized constants: per-shard rows inside shard_map (SPMD graphs
+    # expose local_rows), the padded node count otherwise
+    n_rows = getattr(graphs[0], "local_rows", None) or graphs[0].n_pad
     if op is ComputeOp.ONES:
-        return jnp.ones((graphs[0].n_pad, 1), jnp.float32)
+        return jnp.ones((n_rows, 1), jnp.float32)
     if op is ComputeOp.FULL:
-        return jnp.full((graphs[0].n_pad, 1), float(node.params[0]), jnp.float32)
+        return jnp.full((n_rows, 1), float(node.params[0]), jnp.float32)
     if op is ComputeOp.AGGREGATE_MUL_SUM_DIRECT:
         return spmm_direct(_graph_for(node, graphs), ins[0])
     if op is ComputeOp.POWER:

@@ -44,6 +44,12 @@ class CompiledModel:
     invariant: object
     forward: object
     n_classes: int
+    # host-side data (post reorder/sample) for SPMD resharding
+    host_graph: object = None
+    host_train_graphs: object = None
+    host_feats: object = None
+    host_labels: object = None
+    host_masks: object = None
 
     def make_params(self, seed: int = 0):
         dim_env = {
@@ -179,6 +185,7 @@ def lower(
     full_graphs = [full_g] * n_layers
 
     train_graphs = None
+    subs = None
     if prog.uses_training_subgraphs:
         subs = mask_subgraphs(g_host, masks["train"], n_layers)
         train_graphs = [
@@ -214,4 +221,12 @@ def lower(
         invariant=invariant,
         forward=forward,
         n_classes=spec.graph.label_size if spec.graph.label_size > 0 else n_classes,
+        # host-side retention (post-reorder/post-sample node labeling) so
+        # the SPMD path (gala_tpu.parallel.compiled) can reshard the same
+        # program over a device mesh without recompiling the spec
+        host_graph=g_host,
+        host_train_graphs=subs if prog.uses_training_subgraphs else None,
+        host_feats=feats,
+        host_labels=labels,
+        host_masks=masks,
     )

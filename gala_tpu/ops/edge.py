@@ -32,6 +32,10 @@ def sddvv_add(g: Graph, vl: jax.Array, vr: jax.Array) -> jax.Array:
     vl/vr are (n_pad, 1); returns (e_pad,).  Differentiable via XLA's
     gather transpose (a sorted segment sum over src/dst).
     """
+    if g.strategy == "spmd":
+        from gala_tpu.parallel.ops import spmd_sddvv_add
+
+        return spmd_sddvv_add(g.src, g.dst_local, vl, vr, g.rows_per_shard)
     return vl[g.src, 0] + vr[g.dst, 0]
 
 
@@ -42,6 +46,10 @@ def sddvv_mul(g: Graph, vl: jax.Array, vr: jax.Array) -> jax.Array:
     values; reference: src/middle-end/middle-end.h:213-406 emitting
     AGGREGATE_EDGE_MUL_OP, kernel src/codegen/cuda.h:~600 sddvv mult).
     """
+    if g.strategy == "spmd":
+        from gala_tpu.parallel.ops import spmd_sddvv_mul
+
+        return spmd_sddvv_mul(g.src, g.dst_local, vl, vr, g.rows_per_shard)
     return vl[g.src, 0] * vr[g.dst, 0]
 
 
@@ -100,6 +108,10 @@ def edge_softmax(g: Graph, logits: jax.Array) -> jax.Array:
     affect real nodes.  Forward saves the normalized probabilities as the
     backward residual, matching the reference's softmax autograd.
     """
+    if g.strategy == "spmd":
+        from gala_tpu.parallel.ops import spmd_edge_softmax
+
+        return spmd_edge_softmax(g.dst_local, logits, g.vals, g.rows_per_shard)
     return _edge_softmax(g.n_pad, g.dst, logits)
 
 

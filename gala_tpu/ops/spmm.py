@@ -344,6 +344,11 @@ def spmm_sampled(g: Graph, x: jax.Array, k: int, ra, rb) -> jax.Array:
     5/7 for static kernel sampling parity with
     reference: src/ops/tiling.h:454).
     """
+    if g.strategy == "spmd":
+        raise NotImplementedError(
+            "dynamic neighbor sampling is single-chip only; compile "
+            "without aggrFn.sample(...).dynamic() for SPMD execution"
+        )
     t_deg = jnp.diff(g.t_row_ptr).astype(jnp.float32)[:, None]
     return _spmm_dyn(
         int(k),
@@ -419,6 +424,18 @@ def spmm(g: Graph, x: jax.Array) -> jax.Array:
     Structural edge values (g.vals); gradient flows to `x` only, via the
     transpose graph.  `x` is (n_pad_src, F); returns (n_pad_dst, F).
     """
+    if g.strategy == "spmd":
+        # ShardedGraph inside shard_map (gala_tpu.parallel): collectives
+        # replace the transpose-graph custom VJP — autodiff reverses the
+        # all_gather/all_to_all into the edge-partitioned backward
+        from gala_tpu.parallel.ops import spmd_spmm, spmd_spmm_halo
+
+        if g.use_halo:
+            return spmd_spmm_halo(
+                g.src_halo, g.dst_local, g.vals, x, g.send_idx,
+                g.rows_per_shard, g.n_shards, g.halo,
+            )
+        return spmd_spmm(g.src, g.dst_local, g.vals, x, g.rows_per_shard)
     if g.strategy == "dense":
         return jnp.dot(
             g.a_dense, x,
@@ -447,6 +464,10 @@ def spmm_ev(g: Graph, vals: jax.Array, x: jax.Array) -> jax.Array:
     autograd contract of the reference's SpMM-with-edge-values wrapper
     (reference: src/codegen/common.h:863-892).
     """
+    if g.strategy == "spmd":
+        from gala_tpu.parallel.ops import spmd_spmm_ev
+
+        return spmd_spmm_ev(g.src, g.dst_local, vals, x, g.rows_per_shard)
     if g.strategy == "dense":
         a = jnp.zeros((g.n_pad, g.c_pad), x.dtype)
         a = a.at[g.dst, g.src].add(vals, indices_are_sorted=True)

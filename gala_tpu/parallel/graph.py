@@ -32,7 +32,13 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ShardedGraph:
-    """dst-partitioned edge list, shard-uniform shapes."""
+    """dst-partitioned edge list, shard-uniform shapes.
+
+    Duck-types enough of `gala_tpu.ops.graph.Graph` that the op layer
+    (spmm / sddvv / edge_softmax) dispatches to the SPMD collective path
+    when handed one inside `shard_map` — which lets the IR interpreter
+    (gala_tpu.lowering.interp) run any DSL-compiled program multi-chip
+    unchanged (see gala_tpu.parallel.compiled)."""
 
     src: jax.Array        # (S*Es,) int32 global source ids
     dst_local: jax.Array  # (S*Es,) int32 dst - shard_row_offset; Es*[r] = phantom
@@ -50,13 +56,25 @@ class ShardedGraph:
     n_nodes: int          # real node count
     edges_per_shard: int  # Es
     halo: int             # H: max boundary rows exchanged per shard pair
+    use_halo: bool = False  # spmm via halo all_to_all instead of all_gather
+
+    # op-layer dispatch markers (see ops/spmm.py, ops/edge.py)
+    is_spmd = True
+    strategy = "spmd"
+    attn = None           # fused single-chip attention layout: n/a
+
+    @property
+    def local_rows(self) -> int:
+        """Node rows each shard owns — the per-shard leading dim of every
+        node-sized tensor inside shard_map."""
+        return self.rows_per_shard
 
     def tree_flatten(self):
         return (
             (self.src, self.dst_local, self.vals, self.deg,
              self.src_halo, self.send_idx),
             (self.n_shards, self.rows_per_shard, self.n_pad, self.n_nodes,
-             self.edges_per_shard, self.halo),
+             self.edges_per_shard, self.halo, self.use_halo),
         )
 
     @classmethod
@@ -64,7 +82,8 @@ class ShardedGraph:
         return cls(*children, *aux)
 
     @classmethod
-    def from_host(cls, g: HostCSR, n_shards: int) -> "ShardedGraph":
+    def from_host(cls, g: HostCSR, n_shards: int,
+                  use_halo: bool = False) -> "ShardedGraph":
         n = g.n_rows
         r = _round_up(max((n + n_shards - 1) // n_shards, 8), 8)
         n_pad = r * n_shards
@@ -137,6 +156,7 @@ class ShardedGraph:
             n_nodes=n,
             edges_per_shard=es,
             halo=h,
+            use_halo=use_halo,
         )
 
     def pad_nodes(self, x: np.ndarray) -> jnp.ndarray:

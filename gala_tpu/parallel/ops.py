@@ -65,6 +65,14 @@ def spmd_sddvv_add(src, dst_local, vl_shard, vr_shard, rows_per_shard):
     return vl_full[src, 0] + vr_pad[dst_local, 0]
 
 
+def spmd_sddvv_mul(src, dst_local, vl_shard, vr_shard, rows_per_shard):
+    """Per-edge vl[src] * vr[dst] — the sparsity-rewrite precompute
+    (norm_src * norm_dst edge values) under SPMD."""
+    vl_full = jax.lax.all_gather(vl_shard, AXIS, tiled=True)
+    vr_pad = jnp.concatenate([vr_shard, jnp.zeros((1, 1), vr_shard.dtype)])
+    return vl_full[src, 0] * vr_pad[dst_local, 0]
+
+
 def spmd_edge_softmax(dst_local, logits, vals, rows_per_shard):
     """Softmax over each local destination's incoming edges (edges of one
     destination never cross shards — the point of dst-partitioning)."""

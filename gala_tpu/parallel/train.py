@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gala_tpu.parallel.graph import ShardedGraph
 from gala_tpu.parallel.ops import spmd_spmm, spmd_spmm_halo
@@ -68,6 +68,7 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         src_halo=P("data"), send_idx=P("data"),
         n_shards=sg.n_shards, rows_per_shard=r, n_pad=sg.n_pad,
         n_nodes=sg.n_nodes, edges_per_shard=sg.edges_per_shard, halo=sg.halo,
+        use_halo=sg.use_halo,
     )
     pspecs = param_specs()
 
@@ -104,7 +105,7 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         mesh=mesh,
         in_specs=(pspecs, graph_spec, P("data"), P("data"), P("data")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def local_loss(params, g, x, y, mask):
         logits = local_forward(params, g, x)
@@ -120,7 +121,7 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         mesh=mesh,
         in_specs=(pspecs, graph_spec, P("data")),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded_fwd(params, g, x):
         return local_forward(params, g, x)

@@ -1,0 +1,101 @@
+"""SPMD execution of DSL-compiled programs (gala_tpu.parallel.compiled).
+
+Runs on the 8-virtual-device CPU mesh (conftest).  The correctness
+oracle is the single-device compiled model: the same program resharded
+over the mesh must produce the same logits and train to the same
+quality.
+"""
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gala_tpu
+from gala_tpu.parallel.compiled import shard_compiled
+from gala_tpu.parallel.mesh import make_mesh
+
+_SPEC = importlib.util.spec_from_file_location(
+    "evaluate", os.path.join(os.path.dirname(__file__), "..", "scripts", "evaluate.py")
+)
+_ev = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_ev)
+
+
+def _compile(model, **kw):
+    src = _ev.make_dsl(model, "SpmdTest", hidden=16, iters=8)
+    return gala_tpu.compile_source(
+        src, mode="train", scale=1.0, strategy=kw.pop("strategy", "segment"), **kw
+    )
+
+
+def _single_logits(cm):
+    carry = jax.jit(cm.invariant)(cm.full_graphs, cm.x)
+    params = cm.make_params(0)
+    return jax.jit(cm.forward)(params, cm.full_graphs, carry), params
+
+
+@pytest.mark.parametrize("model", ["gcn", "gat", "gin", "sage"])
+@pytest.mark.parametrize("use_halo", [False, True])
+def test_spmd_forward_matches_single(model, use_halo):
+    cm = _compile(model)
+    logits, params = _single_logits(cm)
+    sm = shard_compiled(cm, use_halo=use_halo)
+    with sm.mesh:
+        carry_s = jax.jit(sm.invariant)(sm.full_graphs, sm.x)
+        logits_s = jax.jit(sm.forward)(params, sm.full_graphs, carry_s)
+    n = cm.host_graph.n_rows
+    np.testing.assert_allclose(
+        np.asarray(logits_s[:n], np.float32),
+        np.asarray(logits[:n], np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_spmd_grads_match_single():
+    cm = _compile("gcn")
+    params = cm.make_params(0)
+    sm = shard_compiled(cm)
+
+    n = cm.host_graph.n_rows  # padded row counts differ between layouts
+
+    def loss_single(p):
+        carry = cm.invariant(cm.full_graphs, cm.x)
+        out = cm.forward(p, cm.full_graphs, carry)
+        return jnp.sum(out[:n].astype(jnp.float32) ** 2)
+
+    def loss_spmd(p):
+        carry = sm.invariant(sm.full_graphs, sm.x)
+        out = sm.forward(p, sm.full_graphs, carry)
+        return jnp.sum(out[:n].astype(jnp.float32) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_single))(params)
+    with sm.mesh:
+        g2 = jax.jit(jax.grad(loss_spmd))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-4, atol=5e-5,
+        ),
+        g2, g1,
+    )
+
+
+def test_spmd_trains_to_accuracy():
+    cm = _compile("gcn")
+    sm = shard_compiled(cm, use_halo=True)
+    res = sm.train(iters=30)
+    assert res.max_accuracy > 0.75, res.max_accuracy
+    assert np.isfinite(res.total_time)
+
+
+def test_spmd_with_subgraph_pass():
+    # training_subgraph pass on: per-layer sharded train graphs
+    cm = _compile("gcn")
+    assert cm.host_train_graphs is not None
+    sm = shard_compiled(cm)
+    assert sm.train_graphs is not None and len(sm.train_graphs) == 2
+    res = sm.train(iters=12)
+    assert np.isfinite(res.total_time)
