@@ -118,6 +118,8 @@ def train(
     invariant: Callable | None = None,
     measure_memory: bool = False,
     epoch_inputs: Callable | None = None,
+    checkpoint_path: str | None = None,
+    resume_from: str | None = None,
 ) -> TrainResult:
     """Run the full training protocol and return timing/accuracy stats.
 
@@ -126,9 +128,26 @@ def train(
         the loop (training-invariant code motion product).
     train_graphs: per-layer training subgraphs; when given, non-validation
         epochs aggregate over them instead of the full graph.
+    checkpoint_path: save final params + optimizer state there (the
+        reference has no checkpointing; see gala_tpu.checkpoint).
+    resume_from: restore params + optimizer state before training.
     """
     tx = make_optimizer(lr, weight_decay)
     opt_state = tx.init(params)
+
+    if resume_from:
+        from gala_tpu.checkpoint import load_checkpoint
+
+        state = load_checkpoint(
+            resume_from,
+            like={"params": params, "opt_state": opt_state, "step": 0},
+        )
+        like = {"params": params, "opt_state": opt_state}
+        restored = jax.tree_util.tree_map(
+            lambda l, s: jnp.asarray(s, getattr(l, "dtype", None)),
+            like, {"params": state["params"], "opt_state": state["opt_state"]},
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
 
     if invariant is not None:
         x_train = jax.jit(invariant)(
@@ -339,6 +358,11 @@ def train(
     ).tolist()
     accs = [test_acc(p, e) for p, e in snapshots]
     accs = np.asarray(jnp.stack(accs)).tolist() if accs else []
+
+    if checkpoint_path:
+        from gala_tpu.checkpoint import save_checkpoint
+
+        save_checkpoint(checkpoint_path, params, opt_state, step=iters)
 
     return TrainResult(
         inference_time=inference_time,

@@ -174,3 +174,38 @@ def test_native_bell_fill_matches_numpy():
         np.testing.assert_array_equal(va, vb)
     if a.big_vals is not None:
         np.testing.assert_array_equal(a.big_vals, b.big_vals)
+
+
+def test_train_checkpoint_resume(tmp_path):
+    """train(checkpoint_path=...) then train(resume_from=...) continues
+    from the saved params (loss continues to decrease, not restart)."""
+    import gala_tpu
+
+    src = (
+        'G = load_dataset("CkptT");\n'
+        "aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);\n"
+        "L1 = layer(G, hs, nonln_fn, aggregate_fn) {\n"
+        "    deg = G.graphs.degrees();\n"
+        "    norm = dsl.fn.pow(deg, -0.5);\n"
+        "    res = norm * G.node.feats;\n"
+        "    res = aggregate_fn(G.graphs, res);\n"
+        "    res = dsl.nn.ffn(res, out=hs);\n"
+        "    res = norm * res;\n"
+        "    G.node.feats = nonln_fn(res);\n"
+        "}\n"
+        "M1 = model(G, non_ln) {\n"
+        "    l1 = L1(G, 8, non_ln, aggrFn);\n"
+        "    l2 = L1(l1, G.labels.size(), null, aggrFn);\n"
+        "}\n"
+        "m1 = M1(G, dsl.non_ln.ReLU);\n"
+        "m1.train(iters=10, validation_step=5);\n"
+        "res = m1.eval();\n"
+    )
+    cm = gala_tpu.compile_source(src, mode="train")
+    ck = str(tmp_path / "ck")
+    r1 = cm.train(iters=10, checkpoint_path=ck)
+    r2 = cm.train(iters=10, resume_from=ck + ".npz" if os.path.exists(ck + ".npz") else ck)
+    # resumed run starts from trained params: its first losses should be
+    # no worse than the fresh run's last losses (allow small noise)
+    assert r2.losses[0] <= r1.losses[0]
+    assert r2.losses[0] <= r1.losses[-1] * 1.5
