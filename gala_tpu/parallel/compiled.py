@@ -23,7 +23,6 @@ replicated, their gradients psum'd by shard_map's transpose.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import numpy as np
