@@ -54,3 +54,13 @@ def test_cli_csv_contract(driver, n_fields, tmp_path):
     parts = line.split(",")
     assert len(parts) == n_fields, line
     assert all(np.isfinite(float(p)) for p in parts), line
+
+@pytest.mark.parametrize("example", ["gcn", "gat", "gin", "sage"])
+def test_examples_compile_and_train(example):
+    """The shipped examples/ programs run end-to-end."""
+    import gala_tpu
+
+    path = f"/root/repo/examples/{example}.txt"
+    cm = gala_tpu.compile_source(open(path).read(), mode="train", scale=0.01)
+    res = cm.train(iters=6)
+    assert np.isfinite(res.total_time)
