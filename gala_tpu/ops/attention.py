@@ -37,6 +37,13 @@ from gala_tpu.ops.graph import BellDev
 
 _NEG = -1e30
 
+# slot-elements budget for gathered buffers: above this the op switches
+# to chunked gathers with online softmax (nothing S-sized materializes
+# or persists as a residual) — the attention analog of the memory-
+# bounded bell gathers in ops/spmm._bell_bin_reduce and of the
+# reference's ordered column tiling (reference: src/ops/tiling.h:222)
+_ATTN_CHUNK_ELEMS = 1 << 27
+
 
 def _float0_like(x):
     return np.zeros(x.shape, jax.dtypes.float0)
@@ -44,6 +51,13 @@ def _float0_like(x):
 
 def _lrelu(z, slope):
     return jnp.where(z > 0, z, slope * z)
+
+
+def _chunks(n_rows: int, k: int, f: int):
+    """Static chunk bounds [(lo, hi), ...] with ~_ATTN_CHUNK_ELEMS slots
+    x features per gathered buffer."""
+    rows = max(_ATTN_CHUNK_ELEMS // max(k * f, 1), 1)
+    return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
 
 
 # --------------------------------------------------------------------------- #
@@ -181,6 +195,239 @@ def _attn_fwd_raw(ab: AttnBell, x, vl, vr, slope, n_pad):
     return out, gth, probs, vr_bin, m_node, s_node
 
 
+def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
+    """Memory-bounded forward: per-bin chunked gathers; the hub class
+    accumulates with an online (rescaling) softmax so no S-sized buffer
+    ever materializes.  Returns per-node stats only (backward recomputes
+    probabilities)."""
+    f = x.shape[1]
+    b = ab.fwd
+    xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
+    vr_bin = vr if ab.rows is None else vr[ab.rows]
+
+    parts, ms, ss, off, r0 = [], [], [], 0, 0
+    for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
+        outs, mcs, scs = [], [], []
+        for lo, hi in _chunks(nb, k, f + 1):
+            cols = jax.lax.slice_in_dim(
+                b.flat_cols, off + lo * k, off + hi * k
+            ).reshape(hi - lo, k)
+            seg = xx[cols]
+            wv = jax.lax.slice_in_dim(w, lo, hi)
+            z = seg[..., f].astype(jnp.float32) + vr_bin[
+                r0 + lo : r0 + hi
+            ].astype(jnp.float32)
+            z = jnp.where(wv != 0, _lrelu(z, slope), _NEG)
+            m = jnp.maximum(jnp.max(z, axis=1, keepdims=True), _NEG / 2)
+            p = jnp.where(wv != 0, jnp.exp(z - m), 0.0)
+            s = jnp.sum(p, axis=1, keepdims=True)
+            s = jnp.where(s > 0, s, 1.0)
+            outs.append(
+                jnp.einsum(
+                    "vk,vkf->vf", (p / s).astype(x.dtype), seg[..., :f],
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+            mcs.append(m)
+            scs.append(s)
+        parts.append(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
+        ms.append(jnp.concatenate(mcs) if len(mcs) > 1 else mcs[0])
+        ss.append(jnp.concatenate(scs) if len(scs) > 1 else scs[0])
+        off += nb * k
+        r0 += nb
+    if b.n_big:
+        vb, kb = b.big_vals.shape
+        m = jnp.full((b.n_big,), _NEG, jnp.float32)
+        s = jnp.zeros((b.n_big,), jnp.float32)
+        acc = jnp.zeros((b.n_big, f), jnp.float32)
+        for lo, hi in _chunks(vb, kb, f + 1):
+            cols = jax.lax.slice_in_dim(
+                b.flat_cols, off + lo * kb, off + hi * kb
+            ).reshape(hi - lo, kb)
+            seg = xx[cols]
+            wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
+            vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
+            z = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
+                jnp.float32
+            )
+            z = jnp.where(wv != 0, _lrelu(z, slope), _NEG)
+            m_c = jax.ops.segment_max(
+                jnp.max(z, axis=1), vrow, num_segments=b.n_big,
+                indices_are_sorted=True,
+            )
+            m_new = jnp.maximum(m, jnp.maximum(m_c, _NEG))
+            p = jnp.where(wv != 0, jnp.exp(z - m_new[vrow][:, None]), 0.0)
+            s_c = jax.ops.segment_sum(
+                jnp.sum(p, axis=1), vrow, num_segments=b.n_big,
+                indices_are_sorted=True,
+            )
+            acc_c = jax.ops.segment_sum(
+                jnp.einsum(
+                    "vk,vkf->vf", p.astype(x.dtype), seg[..., :f],
+                    preferred_element_type=jnp.float32,
+                ),
+                vrow, num_segments=b.n_big, indices_are_sorted=True,
+            )
+            scale = jnp.exp(m - m_new)
+            s = s * scale + s_c
+            acc = acc * scale[:, None] + acc_c
+            m = m_new
+        s = jnp.where(s > 0, s, 1.0)
+        parts.append((acc / s[:, None]).astype(x.dtype))
+        ms.append(jnp.maximum(m, _NEG / 2)[:, None])
+        ss.append(s[:, None])
+    out = _assemble(parts, b, n_pad, f, x.dtype)
+    m_bin = jnp.concatenate(ms) if len(ms) > 1 else ms[0]   # bin order
+    s_bin = jnp.concatenate(ss) if len(ss) > 1 else ss[0]
+    m_node = _assemble([m_bin], b, n_pad, 1, jnp.float32)    # global order
+    s_node = _assemble([s_bin], b, n_pad, 1, jnp.float32)
+    return out, vr_bin, m_bin, s_bin, m_node, s_node
+
+
+def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
+                      m_node, s_node, slope, dout, c_pad):
+    """Memory-bounded backward: probabilities recomputed per chunk from
+    the saved per-node softmax stats; one accumulation sweep per layout.
+
+    Pass 1 (forward layout) accumulates, per destination node,
+      sds = sum_slots p*dp,  A = sum p*dp*lrelu',  B = sum p*lrelu'
+    so dvr = A - sds*B without a second sweep.  Pass 2 (transpose
+    layout) is plain accumulation (no softmax normalization across the
+    source dimension), chunked the same way."""
+    f = x.shape[1]
+    b = ab.fwd
+    xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
+    dout_bin = dout if ab.rows is None else dout[ab.rows]
+
+    sds_parts, a_parts, b_parts, off, r0 = [], [], [], 0, 0
+    for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
+        sds_cs, a_cs, b_cs = [], [], []
+        for lo, hi in _chunks(nb, k, f + 1):
+            cols = jax.lax.slice_in_dim(
+                b.flat_cols, off + lo * k, off + hi * k
+            ).reshape(hi - lo, k)
+            seg = xx[cols]
+            wv = jax.lax.slice_in_dim(w, lo, hi)
+            zpre = seg[..., f].astype(jnp.float32) + vr_bin[
+                r0 + lo : r0 + hi
+            ].astype(jnp.float32)
+            z = jnp.where(wv != 0, _lrelu(zpre, slope), _NEG)
+            p = jnp.where(
+                wv != 0,
+                jnp.exp(z - m_bin[r0 + lo : r0 + hi]) / s_bin[r0 + lo : r0 + hi],
+                0.0,
+            )
+            do = dout_bin[r0 + lo : r0 + hi].astype(jnp.float32)
+            dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
+            lr = jnp.where(zpre > 0, 1.0, slope)
+            sds_cs.append(jnp.sum(p * dp, axis=1, keepdims=True))
+            a_cs.append(jnp.sum(p * dp * lr, axis=1, keepdims=True))
+            b_cs.append(jnp.sum(p * lr, axis=1, keepdims=True))
+        sds_parts.append(jnp.concatenate(sds_cs) if len(sds_cs) > 1 else sds_cs[0])
+        a_parts.append(jnp.concatenate(a_cs) if len(a_cs) > 1 else a_cs[0])
+        b_parts.append(jnp.concatenate(b_cs) if len(b_cs) > 1 else b_cs[0])
+        off += nb * k
+        r0 += nb
+    if b.n_big:
+        vb, kb = b.big_vals.shape
+        sds_b = jnp.zeros((b.n_big, 1), jnp.float32)
+        a_b = jnp.zeros((b.n_big, 1), jnp.float32)
+        b_b = jnp.zeros((b.n_big, 1), jnp.float32)
+        for lo, hi in _chunks(vb, kb, f + 1):
+            cols = jax.lax.slice_in_dim(
+                b.flat_cols, off + lo * kb, off + hi * kb
+            ).reshape(hi - lo, kb)
+            seg = xx[cols]
+            wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
+            vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
+            zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
+                jnp.float32
+            )
+            z = jnp.where(wv != 0, _lrelu(zpre, slope), _NEG)
+            p = jnp.where(
+                wv != 0,
+                jnp.exp(z - m_bin[r0 + vrow]) / s_bin[r0 + vrow],
+                0.0,
+            )
+            do = dout_bin[r0 + vrow].astype(jnp.float32)
+            dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
+            lr = jnp.where(zpre > 0, 1.0, slope)
+
+            def seg_add(acc, val):
+                return acc + jax.ops.segment_sum(
+                    val, vrow, num_segments=b.n_big, indices_are_sorted=True
+                )[:, None]
+
+            sds_b = seg_add(sds_b, jnp.sum(p * dp, axis=1))
+            a_b = seg_add(a_b, jnp.sum(p * dp * lr, axis=1))
+            b_b = seg_add(b_b, jnp.sum(p * lr, axis=1))
+        sds_parts.append(sds_b)
+        a_parts.append(a_b)
+        b_parts.append(b_b)
+    n_pad = dout.shape[0]
+    sds_bin = jnp.concatenate(sds_parts) if len(sds_parts) > 1 else sds_parts[0]
+    a_bin = jnp.concatenate(a_parts) if len(a_parts) > 1 else a_parts[0]
+    b_bin2 = jnp.concatenate(b_parts) if len(b_parts) > 1 else b_parts[0]
+    dvr = _assemble([a_bin - sds_bin * b_bin2], b, n_pad, 1, jnp.float32)
+    sds_node = _assemble([sds_bin], b, n_pad, 1, jnp.float32)
+
+    # ---- pass 2 (transpose layout), chunked plain accumulation ------- #
+    t = ab.t
+    w_tab = jnp.concatenate(
+        [dout.astype(jnp.float32), vr.astype(jnp.float32),
+         m_node, s_node, sds_node],
+        axis=1,
+    )
+    vl_t = vl.astype(jnp.float32) if ab.t_rows is None else vl[ab.t_rows].astype(jnp.float32)
+    x_t = x.astype(jnp.float32) if ab.t_rows is None else x[ab.t_rows].astype(jnp.float32)
+
+    def slot_grads(seg, vl_c, x_c, w):
+        do = seg[..., :f]
+        vr_g, m_g, s_g, sds_g = (seg[..., f + i] for i in range(4))
+        zpre = vl_c + vr_g
+        z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
+        p = jnp.where(w != 0, jnp.exp(z - m_g) / s_g, 0.0)
+        dp = jnp.sum(do * x_c[:, None, :], axis=-1)
+        ds = p * (dp - sds_g)
+        dz = ds * jnp.where(zpre > 0, 1.0, slope)
+        dx_c = jnp.sum(p[..., None] * do, axis=1)
+        dvl_c = jnp.sum(dz, axis=1, keepdims=True)
+        return jnp.concatenate([dx_c, dvl_c], axis=1)
+
+    parts, off, r0 = [], 0, 0
+    for k, nb, w in zip(t.bin_ks, t.bin_counts, t.bin_vals):
+        outs = []
+        for lo, hi in _chunks(nb, k, f + 4):
+            cols = jax.lax.slice_in_dim(
+                t.flat_cols, off + lo * k, off + hi * k
+            ).reshape(hi - lo, k)
+            seg = w_tab[cols]
+            wv = jax.lax.slice_in_dim(w, lo, hi)
+            outs.append(
+                slot_grads(seg, vl_t[r0 + lo : r0 + hi], x_t[r0 + lo : r0 + hi], wv)
+            )
+        parts.append(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
+        off += nb * k
+        r0 += nb
+    if t.n_big:
+        vb, kb = t.big_vals.shape
+        acc = jnp.zeros((t.n_big, f + 1), jnp.float32)
+        for lo, hi in _chunks(vb, kb, f + 4):
+            cols = jax.lax.slice_in_dim(
+                t.flat_cols, off + lo * kb, off + hi * kb
+            ).reshape(hi - lo, kb)
+            seg = w_tab[cols]
+            wv = jax.lax.slice_in_dim(t.big_vals, lo, hi)
+            vrow = jax.lax.slice_in_dim(t.big_vrow, lo, hi)
+            dgv = slot_grads(seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv)
+            acc = acc + jax.ops.segment_sum(
+                dgv, vrow, num_segments=t.n_big, indices_are_sorted=True
+            )
+        parts.append(acc)
+    dxx = _assemble(parts, t, c_pad, f + 1, jnp.float32)
+    return dxx[:, :f], dxx[:, f:], dvr
+
+
 def _attn_bwd_raw(ab: AttnBell, x, vl, vr, gth, probs, vr_bin, m_node, s_node,
                   slope, dout, c_pad):
     f1 = gth.shape[1]
@@ -282,28 +529,52 @@ def _attn_bwd_raw(ab: AttnBell, x, vl, vr, gth, probs, vr_bin, m_node, s_node,
     return dxx[:, :f], dxx[:, f:], dvr
 
 
+def _is_flat(ab: AttnBell, f: int) -> bool:
+    """True when the whole slot table fits the gather-buffer budget (the
+    fast path: one flat gather, probabilities saved as residuals)."""
+    s_f = int(ab.fwd.flat_cols.shape[0]) * (f + 1)
+    s_t = int(ab.t.flat_cols.shape[0]) * (f + 4)
+    return max(s_f, s_t) <= _ATTN_CHUNK_ELEMS
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def attention_aggregate(n_pad, c_pad, slope, ab: AttnBell, x, vl, vr):
     """out = softmax-attention aggregation (single head).
 
     score(e: c->r) = leaky_relu(vl[c] + vr[r]); per-destination softmax;
     out[r] = sum_c p(e) * x[c].  vl: (c_pad, 1), vr: (n_pad, 1)."""
-    out, *_ = _attn_fwd_raw(ab, x, vl, vr, slope, n_pad)
+    if _is_flat(ab, x.shape[1]):
+        out, *_ = _attn_fwd_raw(ab, x, vl, vr, slope, n_pad)
+    else:
+        out, *_ = _attn_fwd_chunked(ab, x, vl, vr, slope, n_pad)
     return out
 
 
 def _attn_fwd(n_pad, c_pad, slope, ab, x, vl, vr):
-    out, gth, probs, vr_bin, m_node, s_node = _attn_fwd_raw(
+    if _is_flat(ab, x.shape[1]):
+        out, gth, probs, vr_bin, m_node, s_node = _attn_fwd_raw(
+            ab, x, vl, vr, slope, n_pad
+        )
+        return out, (ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node)
+    out, vr_bin, m_bin, s_bin, m_node, s_node = _attn_fwd_chunked(
         ab, x, vl, vr, slope, n_pad
     )
-    return out, (ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node)
+    return out, (ab, x, vl, vr, None, None, vr_bin, (m_bin, s_bin), (m_node, s_node))
 
 
 def _attn_bwd(n_pad, c_pad, slope, res, dout):
     ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node = res
-    dx, dvl, dvr = _attn_bwd_raw(
-        ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node, slope, dout, c_pad
-    )
+    if gth is None:
+        m_bin, s_bin = m_node
+        m_glob, s_glob = s_node
+        dx, dvl, dvr = _attn_bwd_chunked(
+            ab, x, vl, vr, vr_bin, m_bin, s_bin, m_glob, s_glob,
+            slope, dout, c_pad,
+        )
+    else:
+        dx, dvl, dvr = _attn_bwd_raw(
+            ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node, slope, dout, c_pad
+        )
 
     def zct(b):
         return dataclasses.replace(

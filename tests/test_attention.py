@@ -132,3 +132,32 @@ def test_model_gat_fused_matches_edge_path(attn_graph):
         out_f = np.asarray(gat.forward(params, [g, g], x, n_heads=heads))
         out_p = np.asarray(gat.forward(params, [g_plain, g_plain], x, n_heads=heads))
         np.testing.assert_allclose(out_f[:n], out_p[:n], rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_attention_matches_flat(attn_graph, monkeypatch):
+    """Forcing the memory-bounded chunked path (tiny _ATTN_CHUNK_ELEMS)
+    must reproduce the flat path's output and gradients exactly (same
+    math, different blocking)."""
+    import gala_tpu.ops.attention as A
+
+    g_host, g = attn_graph
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((g.c_pad, 16)).astype(np.float32))
+    vl = jnp.asarray(rng.standard_normal((g.c_pad, 1)).astype(np.float32))
+    vr = jnp.asarray(rng.standard_normal((g.n_pad, 1)).astype(np.float32))
+    dout = jnp.asarray(rng.standard_normal((g.n_pad, 16)).astype(np.float32))
+
+    def loss(x, vl, vr):
+        out = attention_aggregate(g.n_pad, g.c_pad, SLOPE, g.attn, x, vl, vr)
+        return jnp.sum(out * dout), out
+
+    (l1, out1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
+    assert A._is_flat(g.attn, 16)
+
+    monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 4096)
+    assert not A._is_flat(g.attn, 16)
+    (l2, out2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
+
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=2e-5, atol=2e-5)
+    for a1, a2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-4, atol=2e-5)
