@@ -42,7 +42,16 @@ _NEG = -1e30
 # or persists as a residual) — the attention analog of the memory-
 # bounded bell gathers in ops/spmm._bell_bin_reduce and of the
 # reference's ordered column tiling (reference: src/ops/tiling.h:222)
-_ATTN_CHUNK_ELEMS = 1 << 27
+_ATTN_CHUNK_ELEMS = 1 << 26   # physical elements per chunked gather buffer
+_ATTN_FLAT_ELEMS = 1 << 29    # flat-path ceiling (~2 GB f32 slot buffer)
+
+
+def _phys_cols(f: int) -> int:
+    """Physical lane count of an f-wide buffer: XLA:TPU pads the minor
+    dimension to multiples of 128 lanes, so a (S, 33) f32 gather buffer
+    occupies (S, 128) HBM — budget accounting must use this, not f
+    (measured: 3.9x 'extra memory due to padding' in the allocator log)."""
+    return ((f + 127) // 128) * 128
 
 
 def _float0_like(x):
@@ -54,9 +63,9 @@ def _lrelu(z, slope):
 
 
 def _chunks(n_rows: int, k: int, f: int):
-    """Static chunk bounds [(lo, hi), ...] with ~_ATTN_CHUNK_ELEMS slots
-    x features per gathered buffer."""
-    rows = max(_ATTN_CHUNK_ELEMS // max(k * f, 1), 1)
+    """Static chunk bounds [(lo, hi), ...] with ~_ATTN_CHUNK_ELEMS
+    *physical* elements per gathered buffer."""
+    rows = max(_ATTN_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
     return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
 
 
@@ -532,9 +541,9 @@ def _attn_bwd_raw(ab: AttnBell, x, vl, vr, gth, probs, vr_bin, m_node, s_node,
 def _is_flat(ab: AttnBell, f: int) -> bool:
     """True when the whole slot table fits the gather-buffer budget (the
     fast path: one flat gather, probabilities saved as residuals)."""
-    s_f = int(ab.fwd.flat_cols.shape[0]) * (f + 1)
-    s_t = int(ab.t.flat_cols.shape[0]) * (f + 4)
-    return max(s_f, s_t) <= _ATTN_CHUNK_ELEMS
+    s_f = int(ab.fwd.flat_cols.shape[0]) * _phys_cols(f + 1)
+    s_t = int(ab.t.flat_cols.shape[0]) * _phys_cols(f + 4)
+    return max(s_f, s_t) <= _ATTN_FLAT_ELEMS
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))

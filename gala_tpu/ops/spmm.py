@@ -166,8 +166,15 @@ _spmm_ev_ell.defvjp(_spmm_ev_ell_fwd, _spmm_ev_ell_bwd)
 # --------------------------------------------------------------------------- #
 # elements budget for one gathered (rows, k, F) intermediate: keeps live
 # buffers bounded on big graphs (a single flat (S, F) gather materializes
-# gigabytes at ogbn-products scale and OOMs the 16GB HBM)
-_BELL_CHUNK_ELEMS = 1 << 27
+# gigabytes at ogbn-products scale and OOMs the 16GB HBM).  Budgets count
+# PHYSICAL elements: XLA:TPU pads the minor dim to 128 lanes, so (S, 33)
+# occupies (S, 128) HBM (see ops/attention._phys_cols).
+_BELL_CHUNK_ELEMS = 1 << 26
+_BELL_FLAT_ELEMS = 1 << 29
+
+
+def _phys_cols(f: int) -> int:
+    return ((f + 127) // 128) * 128
 
 
 def _bell_bin_reduce(cols, vals, x, out_dtype):
@@ -175,7 +182,7 @@ def _bell_bin_reduce(cols, vals, x, out_dtype):
     bounded intermediate; per-chunk gathers fuse into their einsum."""
     nb, k = cols.shape
     f = x.shape[1]
-    rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * f, 1), 1)
+    rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
     n_chunks = max(-(-nb // rows_per_chunk), 1)
     if n_chunks == 1:
         seg = x[cols]
@@ -206,7 +213,7 @@ def _bell_raw(bell, x, n_out_pad):
     s_total = bell.flat_cols.shape[0]
     # one flat gather when the (S, F) intermediate fits the budget
     # (fastest); per-bin chunked gathers otherwise (bounded memory)
-    flat = s_total * f <= _BELL_CHUNK_ELEMS
+    flat = s_total * _phys_cols(f) <= _BELL_FLAT_ELEMS
     gathered = x[bell.flat_cols] if flat else None
 
     def bin_reduce(off, nb, k, vals):

@@ -155,6 +155,7 @@ def test_chunked_attention_matches_flat(attn_graph, monkeypatch):
     assert A._is_flat(g.attn, 16)
 
     monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 4096)
+    monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 4096)
     assert not A._is_flat(g.attn, 16)
     (l2, out2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
 
