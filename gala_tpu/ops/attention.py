@@ -69,6 +69,15 @@ def _chunks(n_rows: int, k: int, f: int):
     return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
 
 
+def _seq(table, *outs):
+    """Serialize a chunk loop: an optimization_barrier ties this chunk's
+    outputs to the gather table the NEXT chunk reads, so XLA cannot
+    schedule chunk buffers concurrently (without it the scheduler holds
+    every chunk's 256M gather temp live at once and OOMs)."""
+    res = jax.lax.optimization_barrier((table,) + outs)
+    return res[0], res[1:]
+
+
 # --------------------------------------------------------------------------- #
 # host build
 # --------------------------------------------------------------------------- #
@@ -231,12 +240,12 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             p = jnp.where(wv != 0, jnp.exp(z - m), 0.0)
             s = jnp.sum(p, axis=1, keepdims=True)
             s = jnp.where(s > 0, s, 1.0)
-            outs.append(
-                jnp.einsum(
-                    "vk,vkf->vf", (p / s).astype(x.dtype), seg[..., :f],
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
-            )
+            o_c = jnp.einsum(
+                "vk,vkf->vf", (p / s).astype(x.dtype), seg[..., :f],
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            xx, (o_c, m, s) = _seq(xx, o_c, m, s)
+            outs.append(o_c)
             mcs.append(m)
             scs.append(s)
         parts.append(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
@@ -281,6 +290,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             s = s * scale + s_c
             acc = acc * scale[:, None] + acc_c
             m = m_new
+            xx, (m, s, acc) = _seq(xx, m, s, acc)
         s = jnp.where(s > 0, s, 1.0)
         parts.append((acc / s[:, None]).astype(x.dtype))
         ms.append(jnp.maximum(m, _NEG / 2)[:, None])
@@ -329,9 +339,13 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             do = dout_bin[r0 + lo : r0 + hi].astype(jnp.float32)
             dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
             lr = jnp.where(zpre > 0, 1.0, slope)
-            sds_cs.append(jnp.sum(p * dp, axis=1, keepdims=True))
-            a_cs.append(jnp.sum(p * dp * lr, axis=1, keepdims=True))
-            b_cs.append(jnp.sum(p * lr, axis=1, keepdims=True))
+            sds_c = jnp.sum(p * dp, axis=1, keepdims=True)
+            a_c = jnp.sum(p * dp * lr, axis=1, keepdims=True)
+            b_c = jnp.sum(p * lr, axis=1, keepdims=True)
+            xx, (sds_c, a_c, b_c) = _seq(xx, sds_c, a_c, b_c)
+            sds_cs.append(sds_c)
+            a_cs.append(a_c)
+            b_cs.append(b_c)
         sds_parts.append(jnp.concatenate(sds_cs) if len(sds_cs) > 1 else sds_cs[0])
         a_parts.append(jnp.concatenate(a_cs) if len(a_cs) > 1 else a_cs[0])
         b_parts.append(jnp.concatenate(b_cs) if len(b_cs) > 1 else b_cs[0])
@@ -370,6 +384,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             sds_b = seg_add(sds_b, jnp.sum(p * dp, axis=1))
             a_b = seg_add(a_b, jnp.sum(p * dp * lr, axis=1))
             b_b = seg_add(b_b, jnp.sum(p * lr, axis=1))
+            xx, (sds_b, a_b, b_b) = _seq(xx, sds_b, a_b, b_b)
         sds_parts.append(sds_b)
         a_parts.append(a_b)
         b_parts.append(b_b)
@@ -412,9 +427,9 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             ).reshape(hi - lo, k)
             seg = w_tab[cols]
             wv = jax.lax.slice_in_dim(w, lo, hi)
-            outs.append(
-                slot_grads(seg, vl_t[r0 + lo : r0 + hi], x_t[r0 + lo : r0 + hi], wv)
-            )
+            o_c = slot_grads(seg, vl_t[r0 + lo : r0 + hi], x_t[r0 + lo : r0 + hi], wv)
+            w_tab, (o_c,) = _seq(w_tab, o_c)
+            outs.append(o_c)
         parts.append(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
         off += nb * k
         r0 += nb
@@ -432,6 +447,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             acc = acc + jax.ops.segment_sum(
                 dgv, vrow, num_segments=t.n_big, indices_are_sorted=True
             )
+            w_tab, (acc,) = _seq(w_tab, acc)
         parts.append(acc)
     dxx = _assemble(parts, t, c_pad, f + 1, jnp.float32)
     return dxx[:, :f], dxx[:, f:], dvr

@@ -195,13 +195,16 @@ def _bell_bin_reduce(cols, vals, x, out_dtype):
         lo = c * rows_per_chunk
         hi = min(nb, lo + rows_per_chunk)
         seg = x[jax.lax.slice_in_dim(cols, lo, hi)]
-        outs.append(
-            jnp.einsum(
-                "vk,vkf->vf",
-                jax.lax.slice_in_dim(vals, lo, hi).astype(x.dtype), seg,
-                preferred_element_type=jnp.float32,
-            ).astype(out_dtype)
-        )
+        o_c = jnp.einsum(
+            "vk,vkf->vf",
+            jax.lax.slice_in_dim(vals, lo, hi).astype(x.dtype), seg,
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+        # serialize chunks: tie this chunk's output to the table the next
+        # chunk gathers from, so XLA cannot hold every chunk's gather
+        # temp live at once (ops/attention._seq has the full rationale)
+        x, o_c = jax.lax.optimization_barrier((x, o_c))
+        outs.append(o_c)
     return jnp.concatenate(outs, axis=0)
 
 

@@ -341,15 +341,29 @@ def train(
     total_time = timer.stop(loss, n=max(iters - warmup, 1))
 
     # ---- inference phase: forward-only epochs, same graph schedule -- #
+    import os as _os
+
+    from gala_tpu.utils.timing import fence as _fence
+
+    _dbg = bool(_os.environ.get("GALA_TPU_PHASE_DEBUG"))
     fence_on = None
+    # one device scalar reused by every chunk dispatch: creating it per
+    # call is a fresh H2D through the tunnel (~26ms+) that starves the
+    # in-order stream between dispatches
+    _zero = jnp.float32(0.0)
     for kind, epoch, ln in plan:
         if epoch == warmup:
             timer.start(fence_on=fence_on)
+        _t = time.perf_counter() if _dbg else 0.0
         if kind == "single":
             is_valid, extra = schedule(epoch)
             fence_on = (fwd_full if is_valid else fwd_train)(params, extra)
         else:
-            fence_on = multi_fwd(ln)(params, jnp.float32(0.0))
+            fence_on = multi_fwd(ln)(params, _zero)
+        if _dbg:
+            _fence(fence_on)
+            print(f"[phase2] {kind} e{epoch} len{ln}: "
+                  f"{(time.perf_counter() - _t) * 1e3:.1f} ms")
     inference_time = timer.stop(fence_on, n=max(iters - warmup, 1))
 
     # ---- deferred metrics (outside both timed regions) -------------- #
