@@ -27,10 +27,15 @@ REGISTRY: dict[str, tuple[int, int, int, int]] = {
     "Arxiv": (169_343, 1_166_243, 128, 40),
     "Reddit": (232_965, 114_615_892, 602, 41),
     "Products": (2_449_029, 123_718_280, 100, 47),
+    # evaluated only node-sampled to 1-20% (reference: Table-6.py;
+    # scripts/Data exports papers100M_P<frac> subsets)
+    "Papers100M": (111_059_956, 1_615_685_872, 128, 172),
 }
 _ALIASES = {
     "ogbn-arxiv": "Arxiv",
     "ogbn-products": "Products",
+    "ogbn-papers100M": "Papers100M",
+    "papers100M": "Papers100M",
     "arxiv": "Arxiv",
     "products": "Products",
     "cora": "Cora",

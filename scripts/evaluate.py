@@ -188,13 +188,17 @@ def job_table5(args):
 
 
 def job_table6(args):
+    """Graph-size scaling via node-sampled fractions (reference:
+    Table-6.py runs papers100M_P{1,2,5,10,20})."""
     out = os.path.join(args.outdir, "stat_table6.csv")
+    ds = args.t6_dataset
     for frac in args.fractions:
-        src = make_dsl("gcn", "Products")
-        cm, res = run_one(src, iters=args.iters, scale=frac * args.scale)
+        src = make_dsl("gcn", ds)
+        cm, res = run_one(src, iters=args.iters, scale=frac * args.scale,
+                          dtype=args.jnp_dtype)
         append_csv(
             out, "dataset,fraction,inference_time,total_time",
-            f"Products,{frac},{res.inference_time},{res.total_time}",
+            f"{ds},{frac},{res.inference_time},{res.total_time}",
         )
 
 
@@ -239,6 +243,12 @@ def main():
     ap.add_argument("--layers", nargs="+", type=int, default=[2, 3, 4, 8])
     ap.add_argument("--hidden", nargs="+", type=int,
                     default=[32, 64, 128, 256, 512, 1024])
+    ap.add_argument("--t6-dataset", default="Products",
+                    help="table6 dataset (reference uses papers100M; "
+                         "pass Papers100M for fraction-sampled runs)")
+    ap.add_argument("--dtype", default=None, choices=[None, "bf16", "f32"],
+                    help="activation dtype (bf16 halves HBM for the "
+                         "biggest fractions)")
     ap.add_argument("--outdir", default="results")
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu); set before "
@@ -249,6 +259,15 @@ def main():
         import jax
 
         jax.config.update("jax_platform_name", args.platform)
+    args.jnp_dtype = None
+    if args.dtype == "bf16":
+        import jax.numpy as jnp
+
+        args.jnp_dtype = jnp.bfloat16
+    elif args.dtype == "f32":
+        import jax.numpy as jnp
+
+        args.jnp_dtype = jnp.float32
     os.makedirs(args.outdir, exist_ok=True)
     JOBS[args.job](args)
 

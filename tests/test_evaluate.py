@@ -22,6 +22,7 @@ def _args(tmp_path, **kw):
         iters=6, scale=0.02, datasets=["Cora"], models=["gcn"],
         fractions=[0.01], layers=[2], hidden=[8],
         outdir=str(tmp_path), platform=None,
+        t6_dataset="Cora", jnp_dtype=None,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -55,3 +56,10 @@ def test_table7_schema(tmp_path):
     rows = _rows(tmp_path, "stat_table7.csv",
                  "dataset,sampling,inference_time,accuracy")
     assert [r[1] for r in rows] == ["none", "data", "kernel", "dynamic"]
+
+
+def test_table6_schema(tmp_path):
+    evaluate.job_table6(_args(tmp_path, fractions=[0.5, 1.0], scale=0.04))
+    rows = _rows(tmp_path, "stat_table6.csv",
+                 "dataset,fraction,inference_time,total_time")
+    assert [r[0] for r in rows] == ["Cora", "Cora"]
