@@ -21,17 +21,15 @@ from gala_tpu.data.csr import HostCSR, coo_to_csr
 
 
 def sample_graph_random(g: HostCSR, k: int, seed: int = 0) -> HostCSR:
-    """Keep up to k random incoming neighbors per destination node."""
+    """Keep up to k random incoming neighbors per destination node.
+
+    Vectorized: random keys per edge, lexsort within rows, keep the
+    first k of each row (O(E log E), no per-row Python)."""
     rng = np.random.default_rng(seed)
-    keep_idx = []
-    for r in range(g.n_rows):
-        lo, hi = g.row_ptr[r], g.row_ptr[r + 1]
-        deg = hi - lo
-        if deg <= k:
-            keep_idx.append(np.arange(lo, hi))
-        else:
-            keep_idx.append(lo + rng.choice(deg, size=k, replace=False))
-    idx = np.concatenate(keep_idx) if keep_idx else np.zeros(0, np.int64)
+    r = rng.random(g.n_edges)
+    order = np.lexsort((r, g.dst))            # rows ascending, random inside
+    pos_in_row = np.arange(g.n_edges, dtype=np.int64) - g.row_ptr[g.dst[order]]
+    idx = order[pos_in_row < k]
     return coo_to_csr(g.src[idx], g.dst[idx], g.vals[idx], g.n_rows, g.n_cols)
 
 
@@ -39,18 +37,16 @@ def sample_graph_ab(g: HostCSR, k: int, ra: int = 5, rb: int = 7) -> HostCSR:
     """Deterministic LCG sampling: the i-th sample of a row with degree d
     is neighbor (ra*i + rb) % d (reference: tiling.h:454 and the in-kernel
     formula cuda.h:313-320).  Duplicate picks are kept, as in the
-    reference (sum aggregation then weights repeated neighbors)."""
+    reference (sum aggregation then weights repeated neighbors).
+    Vectorized over all rows (the reference parallelizes with OpenMP)."""
     deg = np.diff(g.row_ptr)
-    keep = []
-    for r in range(g.n_rows):
-        d = deg[r]
-        if d == 0:
-            continue
-        lo = g.row_ptr[r]
-        n_pick = min(d, k)
-        i = np.arange(n_pick)
-        keep.append(lo + (ra * i + rb) % d)
-    idx = np.concatenate(keep) if keep else np.zeros(0, np.int64)
+    n_pick = np.minimum(deg, k)
+    start = np.zeros(g.n_rows + 1, np.int64)
+    np.cumsum(n_pick, out=start[1:])
+    total = int(start[-1])
+    row = np.repeat(np.arange(g.n_rows, dtype=np.int64), n_pick)
+    i = np.arange(total, dtype=np.int64) - start[row]
+    idx = g.row_ptr[row] + (ra * i + rb) % deg[row]
     return coo_to_csr(g.src[idx], g.dst[idx], g.vals[idx], g.n_rows, g.n_cols)
 
 
