@@ -69,13 +69,26 @@ def _chunks(n_rows: int, k: int, f: int):
     return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
 
 
-def _seq(table, *outs):
-    """Serialize a chunk loop: an optimization_barrier ties this chunk's
-    outputs to the gather table the NEXT chunk reads, so XLA cannot
-    schedule chunk buffers concurrently (without it the scheduler holds
-    every chunk's 256M gather temp live at once and OOMs)."""
-    res = jax.lax.optimization_barrier((table,) + outs)
-    return res[0], res[1:]
+class _Pipeline:
+    """Bounded-overlap chunk sequencing.  An optimization_barrier ties
+    each chunk's outputs to the gather-table reference a LATER chunk
+    reads; alternating between two references gives pipeline depth 2:
+    at most ~2 chunk buffers live (without barriers XLA holds EVERY
+    chunk's 256M gather temp at once and OOMs), while gather and
+    compute of adjacent chunks still overlap."""
+
+    def __init__(self, table):
+        self.tabs = [table, table]
+        self.i = 0
+
+    def table(self):
+        return self.tabs[self.i % 2]
+
+    def step(self, *outs):
+        res = jax.lax.optimization_barrier((self.tabs[self.i % 2],) + outs)
+        self.tabs[self.i % 2] = res[0]
+        self.i += 1
+        return res[1:]
 
 
 # --------------------------------------------------------------------------- #
@@ -222,6 +235,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     b = ab.fwd
     xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
     vr_bin = vr if ab.rows is None else vr[ab.rows]
+    pl = _Pipeline(xx)
 
     parts, ms, ss, off, r0 = [], [], [], 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
@@ -230,7 +244,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = xx[cols]
+            seg = pl.table()[cols]
             wv = jax.lax.slice_in_dim(w, lo, hi)
             z = seg[..., f].astype(jnp.float32) + vr_bin[
                 r0 + lo : r0 + hi
@@ -244,7 +258,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                 "vk,vkf->vf", (p / s).astype(x.dtype), seg[..., :f],
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype)
-            xx, (o_c, m, s) = _seq(xx, o_c, m, s)
+            o_c, m, s = pl.step(o_c, m, s)
             outs.append(o_c)
             mcs.append(m)
             scs.append(s)
@@ -262,7 +276,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = xx[cols]
+            seg = pl.table()[cols]
             wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
             z = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
@@ -290,7 +304,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             s = s * scale + s_c
             acc = acc * scale[:, None] + acc_c
             m = m_new
-            xx, (m, s, acc) = _seq(xx, m, s, acc)
+            m, s, acc = pl.step(m, s, acc)
         s = jnp.where(s > 0, s, 1.0)
         parts.append((acc / s[:, None]).astype(x.dtype))
         ms.append(jnp.maximum(m, _NEG / 2)[:, None])
@@ -317,6 +331,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     b = ab.fwd
     xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
     dout_bin = dout if ab.rows is None else dout[ab.rows]
+    pl = _Pipeline(xx)
 
     sds_parts, a_parts, b_parts, off, r0 = [], [], [], 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
@@ -325,7 +340,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = xx[cols]
+            seg = pl.table()[cols]
             wv = jax.lax.slice_in_dim(w, lo, hi)
             zpre = seg[..., f].astype(jnp.float32) + vr_bin[
                 r0 + lo : r0 + hi
@@ -342,7 +357,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             sds_c = jnp.sum(p * dp, axis=1, keepdims=True)
             a_c = jnp.sum(p * dp * lr, axis=1, keepdims=True)
             b_c = jnp.sum(p * lr, axis=1, keepdims=True)
-            xx, (sds_c, a_c, b_c) = _seq(xx, sds_c, a_c, b_c)
+            sds_c, a_c, b_c = pl.step(sds_c, a_c, b_c)
             sds_cs.append(sds_c)
             a_cs.append(a_c)
             b_cs.append(b_c)
@@ -360,7 +375,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = xx[cols]
+            seg = pl.table()[cols]
             wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
             zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
@@ -384,7 +399,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             sds_b = seg_add(sds_b, jnp.sum(p * dp, axis=1))
             a_b = seg_add(a_b, jnp.sum(p * dp * lr, axis=1))
             b_b = seg_add(b_b, jnp.sum(p * lr, axis=1))
-            xx, (sds_b, a_b, b_b) = _seq(xx, sds_b, a_b, b_b)
+            sds_b, a_b, b_b = pl.step(sds_b, a_b, b_b)
         sds_parts.append(sds_b)
         a_parts.append(a_b)
         b_parts.append(b_b)
@@ -404,6 +419,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     )
     vl_t = vl.astype(jnp.float32) if ab.t_rows is None else vl[ab.t_rows].astype(jnp.float32)
     x_t = x.astype(jnp.float32) if ab.t_rows is None else x[ab.t_rows].astype(jnp.float32)
+    pl2 = _Pipeline(w_tab)
 
     def slot_grads(seg, vl_c, x_c, w):
         do = seg[..., :f]
@@ -425,10 +441,10 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = w_tab[cols]
+            seg = pl2.table()[cols]
             wv = jax.lax.slice_in_dim(w, lo, hi)
             o_c = slot_grads(seg, vl_t[r0 + lo : r0 + hi], x_t[r0 + lo : r0 + hi], wv)
-            w_tab, (o_c,) = _seq(w_tab, o_c)
+            (o_c,) = pl2.step(o_c)
             outs.append(o_c)
         parts.append(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
         off += nb * k
@@ -440,14 +456,14 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = w_tab[cols]
+            seg = pl2.table()[cols]
             wv = jax.lax.slice_in_dim(t.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(t.big_vrow, lo, hi)
             dgv = slot_grads(seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv)
             acc = acc + jax.ops.segment_sum(
                 dgv, vrow, num_segments=t.n_big, indices_are_sorted=True
             )
-            w_tab, (acc,) = _seq(w_tab, acc)
+            (acc,) = pl2.step(acc)
         parts.append(acc)
     dxx = _assemble(parts, t, c_pad, f + 1, jnp.float32)
     return dxx[:, :f], dxx[:, f:], dvr

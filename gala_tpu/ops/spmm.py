@@ -191,19 +191,22 @@ def _bell_bin_reduce(cols, vals, x, out_dtype):
             preferred_element_type=jnp.float32,
         ).astype(out_dtype)
     outs = []
+    # Two alternating barrier-chained table refs: chunk i+2's gather
+    # waits on chunk i's output, so at most ~2 chunk buffers are live
+    # (without barriers XLA holds EVERY chunk's gather temp at once and
+    # OOMs) while gather/compute of adjacent chunks still pipeline.
+    tabs = [x, x]
     for c in range(n_chunks):
         lo = c * rows_per_chunk
         hi = min(nb, lo + rows_per_chunk)
-        seg = x[jax.lax.slice_in_dim(cols, lo, hi)]
+        tab = tabs[c % 2]
+        seg = tab[jax.lax.slice_in_dim(cols, lo, hi)]
         o_c = jnp.einsum(
             "vk,vkf->vf",
             jax.lax.slice_in_dim(vals, lo, hi).astype(x.dtype), seg,
             preferred_element_type=jnp.float32,
         ).astype(out_dtype)
-        # serialize chunks: tie this chunk's output to the table the next
-        # chunk gathers from, so XLA cannot hold every chunk's gather
-        # temp live at once (ops/attention._seq has the full rationale)
-        x, o_c = jax.lax.optimization_barrier((x, o_c))
+        tabs[c % 2], o_c = jax.lax.optimization_barrier((tab, o_c))
         outs.append(o_c)
     return jnp.concatenate(outs, axis=0)
 
