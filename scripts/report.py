@@ -15,11 +15,31 @@ import os
 
 
 def read(path):
+    """Read a stat CSV; re-run rows supersede older ones (the harness
+    appends, so the LAST row per config key wins)."""
     if not os.path.exists(path):
         return None, []
     with open(path) as f:
         rows = list(csv.reader(f))
-    return rows[0], rows[1:]
+    header, body = rows[0], rows[1:]
+    # key = leading non-numeric columns (dataset/model/variant/...)
+    n_key = 0
+    for v in body[0] if body else []:
+        try:
+            float(v)
+            break
+        except ValueError:
+            n_key += 1
+    n_key = max(n_key, 1)
+    # fig18's key includes the numeric layers/hidden columns
+    if "layers" in header:
+        n_key = 3
+    if "fraction" in header:
+        n_key = 2
+    dedup = {}
+    for r in body:
+        dedup[tuple(r[:n_key])] = r
+    return header, list(dedup.values())
 
 
 def md_table(header, rows, fmt=None):
