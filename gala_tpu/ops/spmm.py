@@ -172,24 +172,73 @@ _spmm_ev_ell.defvjp(_spmm_ev_ell_fwd, _spmm_ev_ell_bwd)
 _BELL_CHUNK_ELEMS = 1 << 26
 _BELL_FLAT_ELEMS = 1 << 29
 
+# Gather-table packing: the measured XLA row-gather rate drops ~10x once
+# the table's PHYSICAL footprint (minor dim padded to 128 lanes) crosses
+# ~100 MB (docs/PERF_NOTES.md).  For narrow features (f <= 64) the
+# padding wastes most of each row, so packing P = 128//f nodes per
+# physical row shrinks the table P-fold — same bytes per gathered row,
+# P-fold smaller working set — and a (v,k,P)-expanded weight einsum
+# selects each slot's lane window in one streaming pass.
+_PACK_MIN_BYTES = 96 << 20
+
 
 def _phys_cols(f: int) -> int:
     return ((f + 127) // 128) * 128
 
 
-def _bell_bin_reduce(cols, vals, x, out_dtype):
+def _pack_factor(n_rows: int, f: int, itemsize: int) -> int:
+    if n_rows * _phys_cols(f) * itemsize <= _PACK_MIN_BYTES:
+        return 1
+    return max(min(128 // max(f, 1), 8), 1)
+
+
+def _pack_table(x, p):
+    """(n, f) -> (ceil(n/p), p*f), row j holds nodes j*p .. j*p+p-1."""
+    n, f = x.shape
+    n_pad = -(-n // p) * p
+    if n_pad != n:
+        x = jnp.concatenate([x, jnp.zeros((n_pad - n, f), x.dtype)], axis=0)
+    return x.reshape(n_pad // p, p * f)
+
+
+def _bell_einsum(w, seg, f, p, out_dtype):
+    """Weighted reduce of gathered slots.
+
+    Unpacked (p == 1): w (v, k) x seg (v, k, f).  Packed: w (v, k, p)
+    lane-selected weights x seg (v, k, p*f) viewed as (v, k, p, f) —
+    one streaming pass selects each slot's lane window and reduces."""
+    if p == 1:
+        return jnp.einsum(
+            "vk,vkf->vf", w, seg, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+    v, k = w.shape[:2]
+    return jnp.einsum(
+        "vkp,vkpf->vf", w, seg.reshape(v, k, p, f),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def _lane_weights(vals, lane, p, dtype):
+    """(v, k) edge weights -> (v, k, p) with the weight placed in the
+    slot's lane position (zero elsewhere)."""
+    if p == 1:
+        return vals.astype(dtype)
+    sel = lane[..., None] == jnp.arange(p, dtype=lane.dtype)
+    return jnp.where(sel, vals[..., None].astype(dtype), 0)
+
+
+def _bell_bin_reduce(cols, vals, x, out_dtype, lane=None, p=1, f=None):
     """sum_k vals[v,k] * x[cols[v,k]] with the gather chunked to a
-    bounded intermediate; per-chunk gathers fuse into their einsum."""
+    bounded intermediate; per-chunk gathers fuse into their einsum.
+    When p > 1, `x` is a packed table and `cols`/`lane` address it."""
     nb, k = cols.shape
-    f = x.shape[1]
-    rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
+    f = x.shape[1] if f is None else f
+    rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f * p), 1), 1)
     n_chunks = max(-(-nb // rows_per_chunk), 1)
     if n_chunks == 1:
         seg = x[cols]
-        return jnp.einsum(
-            "vk,vkf->vf", vals.astype(x.dtype), seg,
-            preferred_element_type=jnp.float32,
-        ).astype(out_dtype)
+        w = _lane_weights(vals, lane, p, x.dtype)
+        return _bell_einsum(w, seg, f, p, out_dtype)
     outs = []
     # Two alternating barrier-chained table refs: chunk i+2's gather
     # waits on chunk i's output, so at most ~2 chunk buffers are live
@@ -201,11 +250,12 @@ def _bell_bin_reduce(cols, vals, x, out_dtype):
         hi = min(nb, lo + rows_per_chunk)
         tab = tabs[c % 2]
         seg = tab[jax.lax.slice_in_dim(cols, lo, hi)]
-        o_c = jnp.einsum(
-            "vk,vkf->vf",
-            jax.lax.slice_in_dim(vals, lo, hi).astype(x.dtype), seg,
-            preferred_element_type=jnp.float32,
-        ).astype(out_dtype)
+        w = _lane_weights(
+            jax.lax.slice_in_dim(vals, lo, hi),
+            jax.lax.slice_in_dim(lane, lo, hi) if lane is not None else None,
+            p, x.dtype,
+        )
+        o_c = _bell_einsum(w, seg, f, p, out_dtype)
         tabs[c % 2], o_c = jax.lax.optimization_barrier((tab, o_c))
         outs.append(o_c)
     return jnp.concatenate(outs, axis=0)
@@ -217,20 +267,35 @@ def _bell_raw(bell, x, n_out_pad):
     order, padded to n_out_pad rows."""
     f = x.shape[1]
     s_total = bell.flat_cols.shape[0]
+    p = _pack_factor(x.shape[0], f, jnp.dtype(x.dtype).itemsize)
+    if p > 1:
+        xt = _pack_table(x, p)
+        cols_all = (bell.flat_cols // p).astype(bell.flat_cols.dtype)
+        lane_all = (bell.flat_cols % p).astype(jnp.int32)
+    else:
+        xt, cols_all, lane_all = x, bell.flat_cols, None
     # one flat gather when the (S, F) intermediate fits the budget
     # (fastest); per-bin chunked gathers otherwise (bounded memory)
-    flat = s_total * _phys_cols(f) <= _BELL_FLAT_ELEMS
-    gathered = x[bell.flat_cols] if flat else None
+    flat = s_total * _phys_cols(f * p) <= _BELL_FLAT_ELEMS
+    gathered = xt[cols_all] if flat else None
 
     def bin_reduce(off, nb, k, vals):
         if flat:
-            seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(nb, k, f)
-            return jnp.einsum(
-                "vk,vkf->vf", vals.astype(x.dtype), seg,
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-        cols = jax.lax.slice_in_dim(bell.flat_cols, off, off + nb * k).reshape(nb, k)
-        return _bell_bin_reduce(cols, vals, x, x.dtype)
+            seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(
+                nb, k, f * p
+            )
+            lane = (
+                jax.lax.slice_in_dim(lane_all, off, off + nb * k).reshape(nb, k)
+                if lane_all is not None else None
+            )
+            w = _lane_weights(vals, lane, p, x.dtype)
+            return _bell_einsum(w, seg, f, p, x.dtype)
+        cols = jax.lax.slice_in_dim(cols_all, off, off + nb * k).reshape(nb, k)
+        lane = (
+            jax.lax.slice_in_dim(lane_all, off, off + nb * k).reshape(nb, k)
+            if lane_all is not None else None
+        )
+        return _bell_bin_reduce(cols, vals, xt, x.dtype, lane=lane, p=p, f=f)
 
     parts = []
     off = 0

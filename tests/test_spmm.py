@@ -170,3 +170,63 @@ def test_bell_diag_split(small_dataset):
         # slot count excludes the split-out self loops
         n_self = int((g_host.src == g_host.dst).sum())
         assert hb.flat_cols.shape[0] >= g_host.n_edges - n_self
+
+
+def test_packed_gather_table_matches(monkeypatch):
+    """Forcing node-packed gather tables (tiny _PACK_MIN_BYTES) must be
+    numerically identical to the unpacked path, fwd and grad, for
+    several feature widths (incl. f not dividing 128)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gala_tpu.ops.spmm as S
+    from gala_tpu.data.csr import coo_to_csr
+    from gala_tpu.ops.graph import Graph
+
+    rng = np.random.default_rng(11)
+    n, e = 700, 9000
+    src = rng.integers(0, n, e)
+    dst = np.concatenate([rng.integers(0, n, e - 400), np.full(400, 9)])
+    g_host = coo_to_csr(src, dst, rng.random(e).astype(np.float32), n, n)
+    g = Graph.from_host(g_host, strategy="bell")
+
+    for f in (8, 32, 33, 64):
+        x = jnp.asarray(rng.standard_normal((g.c_pad, f)).astype(np.float32))
+        dout = jnp.asarray(rng.standard_normal((g.n_pad, f)).astype(np.float32))
+
+        def loss(x):
+            o = S.spmm(g, x)
+            return jnp.sum(o * dout), o
+
+        (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(x)
+        monkeypatch.setattr(S, "_PACK_MIN_BYTES", 0)
+        assert S._pack_factor(g.c_pad, f, 4) > 1
+        (l2, o2), g2 = jax.value_and_grad(loss, has_aux=True)(x)
+        monkeypatch.setattr(S, "_PACK_MIN_BYTES", 96 << 20)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_packed_chunked_gather_matches(monkeypatch):
+    """Packed + chunked (both forced) == plain path."""
+    import jax
+    import jax.numpy as jnp
+
+    import gala_tpu.ops.spmm as S
+    from gala_tpu.data.csr import coo_to_csr
+    from gala_tpu.ops.graph import Graph
+
+    rng = np.random.default_rng(12)
+    n, e = 600, 8000
+    g_host = coo_to_csr(rng.integers(0, n, e), rng.integers(0, n, e),
+                        rng.random(e).astype(np.float32), n, n)
+    g = Graph.from_host(g_host, strategy="bell")
+    x = jnp.asarray(rng.standard_normal((g.c_pad, 32)).astype(np.float32))
+    ref = np.asarray(S.spmm(g, x))
+    monkeypatch.setattr(S, "_PACK_MIN_BYTES", 0)
+    monkeypatch.setattr(S, "_BELL_FLAT_ELEMS", 0)
+    monkeypatch.setattr(S, "_BELL_CHUNK_ELEMS", 1 << 14)
+    got = np.asarray(S.spmm(g, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
