@@ -201,44 +201,44 @@ def _pack_table(x, p):
     return x.reshape(n_pad // p, p * f)
 
 
-def _bell_einsum(w, seg, f, p, out_dtype):
-    """Weighted reduce of gathered slots.
+def _packed_chunk_reduce(cols_c, vals_c, xt, p, f, out_dtype):
+    """One chunk of the packed-table reduce.  Every operand stays 2-D
+    (or the proven (v,k,f) dot shape): 3-D small-minor-dim operands
+    tile-pad up to 64x on TPU and OOM at bin scale.
 
-    Unpacked (p == 1): w (v, k) x seg (v, k, f).  Packed: w (v, k, p)
-    lane-selected weights x seg (v, k, p*f) viewed as (v, k, p, f) —
-    one streaming pass selects each slot's lane window and reduces."""
-    if p == 1:
-        return jnp.einsum(
-            "vk,vkf->vf", w, seg, preferred_element_type=jnp.float32
-        ).astype(out_dtype)
-    v, k = w.shape[:2]
+    cols_c: (rows, k) UNPACKED node ids; xt: packed (n/p, p*f) table."""
+    rows, k = cols_c.shape
+    flat = cols_c.reshape(-1)
+    seg2 = xt[flat // p]                       # (rows*k, p*f) 2-D gather
+    lane = (flat % p)[:, None]                 # (rows*k, 1)
+    acc = jnp.zeros((rows * k, f), xt.dtype)
+    for c in range(p):
+        acc = acc + jnp.where(
+            lane == c, jax.lax.slice_in_dim(seg2, c * f, (c + 1) * f, axis=1), 0
+        )
     return jnp.einsum(
-        "vkp,vkpf->vf", w, seg.reshape(v, k, p, f),
+        "vk,vkf->vf", vals_c.astype(xt.dtype), acc.reshape(rows, k, f),
         preferred_element_type=jnp.float32,
     ).astype(out_dtype)
 
 
-def _lane_weights(vals, lane, p, dtype):
-    """(v, k) edge weights -> (v, k, p) with the weight placed in the
-    slot's lane position (zero elsewhere)."""
-    if p == 1:
-        return vals.astype(dtype)
-    sel = lane[..., None] == jnp.arange(p, dtype=lane.dtype)
-    return jnp.where(sel, vals[..., None].astype(dtype), 0)
-
-
-def _bell_bin_reduce(cols, vals, x, out_dtype, lane=None, p=1, f=None):
+def _bell_bin_reduce(cols, vals, x, out_dtype, p=1, f=None):
     """sum_k vals[v,k] * x[cols[v,k]] with the gather chunked to a
     bounded intermediate; per-chunk gathers fuse into their einsum.
-    When p > 1, `x` is a packed table and `cols`/`lane` address it."""
+    When p > 1, `x` is a packed (n/p, p*f) table and `cols` holds
+    UNPACKED node ids (the // and % happen per chunk)."""
     nb, k = cols.shape
     f = x.shape[1] if f is None else f
     rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f * p), 1), 1)
     n_chunks = max(-(-nb // rows_per_chunk), 1)
     if n_chunks == 1:
+        if p > 1:
+            return _packed_chunk_reduce(cols, vals, x, p, f, out_dtype)
         seg = x[cols]
-        w = _lane_weights(vals, lane, p, x.dtype)
-        return _bell_einsum(w, seg, f, p, out_dtype)
+        return jnp.einsum(
+            "vk,vkf->vf", vals.astype(x.dtype), seg,
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
     outs = []
     # Two alternating barrier-chained table refs: chunk i+2's gather
     # waits on chunk i's output, so at most ~2 chunk buffers are live
@@ -249,13 +249,16 @@ def _bell_bin_reduce(cols, vals, x, out_dtype, lane=None, p=1, f=None):
         lo = c * rows_per_chunk
         hi = min(nb, lo + rows_per_chunk)
         tab = tabs[c % 2]
-        seg = tab[jax.lax.slice_in_dim(cols, lo, hi)]
-        w = _lane_weights(
-            jax.lax.slice_in_dim(vals, lo, hi),
-            jax.lax.slice_in_dim(lane, lo, hi) if lane is not None else None,
-            p, x.dtype,
-        )
-        o_c = _bell_einsum(w, seg, f, p, out_dtype)
+        cols_c = jax.lax.slice_in_dim(cols, lo, hi)
+        vals_c = jax.lax.slice_in_dim(vals, lo, hi)
+        if p > 1:
+            o_c = _packed_chunk_reduce(cols_c, vals_c, tab, p, f, out_dtype)
+        else:
+            seg = tab[cols_c]
+            o_c = jnp.einsum(
+                "vk,vkf->vf", vals_c.astype(x.dtype), seg,
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
         tabs[c % 2], o_c = jax.lax.optimization_barrier((tab, o_c))
         outs.append(o_c)
     return jnp.concatenate(outs, axis=0)
@@ -268,34 +271,23 @@ def _bell_raw(bell, x, n_out_pad):
     f = x.shape[1]
     s_total = bell.flat_cols.shape[0]
     p = _pack_factor(x.shape[0], f, jnp.dtype(x.dtype).itemsize)
-    if p > 1:
-        xt = _pack_table(x, p)
-        cols_all = (bell.flat_cols // p).astype(bell.flat_cols.dtype)
-        lane_all = (bell.flat_cols % p).astype(jnp.int32)
-    else:
-        xt, cols_all, lane_all = x, bell.flat_cols, None
+    xt = _pack_table(x, p) if p > 1 else x
     # one flat gather when the (S, F) intermediate fits the budget
-    # (fastest); per-bin chunked gathers otherwise (bounded memory)
-    flat = s_total * _phys_cols(f * p) <= _BELL_FLAT_ELEMS
-    gathered = xt[cols_all] if flat else None
+    # (fastest); per-bin chunked gathers otherwise (bounded memory).
+    # Packed mode always goes through the chunked reducer (its per-chunk
+    # //p and %p keep every index intermediate chunk-sized).
+    flat = p == 1 and s_total * _phys_cols(f) <= _BELL_FLAT_ELEMS
+    gathered = x[bell.flat_cols] if flat else None
 
     def bin_reduce(off, nb, k, vals):
         if flat:
-            seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(
-                nb, k, f * p
-            )
-            lane = (
-                jax.lax.slice_in_dim(lane_all, off, off + nb * k).reshape(nb, k)
-                if lane_all is not None else None
-            )
-            w = _lane_weights(vals, lane, p, x.dtype)
-            return _bell_einsum(w, seg, f, p, x.dtype)
-        cols = jax.lax.slice_in_dim(cols_all, off, off + nb * k).reshape(nb, k)
-        lane = (
-            jax.lax.slice_in_dim(lane_all, off, off + nb * k).reshape(nb, k)
-            if lane_all is not None else None
-        )
-        return _bell_bin_reduce(cols, vals, xt, x.dtype, lane=lane, p=p, f=f)
+            seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(nb, k, f)
+            return jnp.einsum(
+                "vk,vkf->vf", vals.astype(x.dtype), seg,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        cols = jax.lax.slice_in_dim(bell.flat_cols, off, off + nb * k).reshape(nb, k)
+        return _bell_bin_reduce(cols, vals, xt, x.dtype, p=p, f=f)
 
     parts = []
     off = 0
