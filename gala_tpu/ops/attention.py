@@ -34,6 +34,7 @@ import numpy as np
 from gala_tpu.data.csr import HostCSR
 from gala_tpu.data.ell import build_binned_ell
 from gala_tpu.ops.graph import BellDev
+from gala_tpu.ops.spmm import _pack_factor, _pack_table
 
 _NEG = -1e30
 
@@ -67,6 +68,25 @@ def _chunks(n_rows: int, k: int, f: int):
     *physical* elements per gathered buffer."""
     rows = max(_ATTN_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
     return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
+
+
+def _gather_slots(table, cols, p, fw):
+    """Gather (rows, k, fw) slot rows from `table`; when p > 1 the table
+    is node-packed (p nodes per physical row, see ops/spmm._pack_factor)
+    and the slot's lane window is selected elementwise — every operand
+    stays 2-D (3-D small-minor operands tile-pad up to 64x)."""
+    rows, k = cols.shape
+    if p == 1:
+        return table[cols]
+    flat = cols.reshape(-1)
+    seg2 = table[flat // p]
+    lane = (flat % p)[:, None]
+    acc = jnp.zeros((rows * k, fw), seg2.dtype)
+    for c in range(p):
+        acc = acc + jnp.where(
+            lane == c, jax.lax.slice_in_dim(seg2, c * fw, (c + 1) * fw, axis=1), 0
+        )
+    return acc.reshape(rows, k, fw)
 
 
 class _Pipeline:
@@ -235,7 +255,8 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     b = ab.fwd
     xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
     vr_bin = vr if ab.rows is None else vr[ab.rows]
-    pl = _Pipeline(xx)
+    p_x = _pack_factor(xx.shape[0], f + 1, jnp.dtype(xx.dtype).itemsize)
+    pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
 
     parts, ms, ss, off, r0 = [], [], [], 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
@@ -244,7 +265,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = pl.table()[cols]
+            seg = _gather_slots(pl.table(), cols, p_x, f + 1)
             wv = jax.lax.slice_in_dim(w, lo, hi)
             z = seg[..., f].astype(jnp.float32) + vr_bin[
                 r0 + lo : r0 + hi
@@ -276,7 +297,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = pl.table()[cols]
+            seg = _gather_slots(pl.table(), cols, p_x, f + 1)
             wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
             z = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
@@ -331,7 +352,8 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     b = ab.fwd
     xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
     dout_bin = dout if ab.rows is None else dout[ab.rows]
-    pl = _Pipeline(xx)
+    p_x = _pack_factor(xx.shape[0], f + 1, jnp.dtype(xx.dtype).itemsize)
+    pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
 
     sds_parts, a_parts, b_parts, off, r0 = [], [], [], 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
@@ -340,7 +362,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = pl.table()[cols]
+            seg = _gather_slots(pl.table(), cols, p_x, f + 1)
             wv = jax.lax.slice_in_dim(w, lo, hi)
             zpre = seg[..., f].astype(jnp.float32) + vr_bin[
                 r0 + lo : r0 + hi
@@ -375,7 +397,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = pl.table()[cols]
+            seg = _gather_slots(pl.table(), cols, p_x, f + 1)
             wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
             zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
@@ -419,7 +441,8 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     )
     vl_t = vl.astype(jnp.float32) if ab.t_rows is None else vl[ab.t_rows].astype(jnp.float32)
     x_t = x.astype(jnp.float32) if ab.t_rows is None else x[ab.t_rows].astype(jnp.float32)
-    pl2 = _Pipeline(w_tab)
+    p_w = _pack_factor(w_tab.shape[0], f + 4, jnp.dtype(w_tab.dtype).itemsize)
+    pl2 = _Pipeline(_pack_table(w_tab, p_w) if p_w > 1 else w_tab)
 
     def slot_grads(seg, vl_c, x_c, w):
         do = seg[..., :f]
@@ -441,7 +464,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = pl2.table()[cols]
+            seg = _gather_slots(pl2.table(), cols, p_w, f + 4)
             wv = jax.lax.slice_in_dim(w, lo, hi)
             o_c = slot_grads(seg, vl_t[r0 + lo : r0 + hi], x_t[r0 + lo : r0 + hi], wv)
             (o_c,) = pl2.step(o_c)
@@ -456,7 +479,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = pl2.table()[cols]
+            seg = _gather_slots(pl2.table(), cols, p_w, f + 4)
             wv = jax.lax.slice_in_dim(t.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(t.big_vrow, lo, hi)
             dgv = slot_grads(seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv)

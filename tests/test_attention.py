@@ -162,3 +162,29 @@ def test_chunked_attention_matches_flat(attn_graph, monkeypatch):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=2e-5, atol=2e-5)
     for a1, a2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-4, atol=2e-5)
+
+
+def test_packed_chunked_attention_matches(attn_graph, monkeypatch):
+    """Packed tables + chunked attention (both forced) == flat path."""
+    import gala_tpu.ops.attention as A
+    import gala_tpu.ops.spmm as S
+
+    g_host, g = attn_graph
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((g.c_pad, 16)).astype(np.float32))
+    vl = jnp.asarray(rng.standard_normal((g.c_pad, 1)).astype(np.float32))
+    vr = jnp.asarray(rng.standard_normal((g.n_pad, 1)).astype(np.float32))
+    dout = jnp.asarray(rng.standard_normal((g.n_pad, 16)).astype(np.float32))
+
+    def loss(x, vl, vr):
+        out = attention_aggregate(g.n_pad, g.c_pad, SLOPE, g.attn, x, vl, vr)
+        return jnp.sum(out * dout), out
+
+    (l1, out1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
+    monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 8192)
+    monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 8192)
+    monkeypatch.setattr(S, "_PACK_MIN_BYTES", 0)
+    (l2, out2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=2e-5, atol=2e-5)
+    for a1, a2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-4, atol=2e-5)
