@@ -222,23 +222,31 @@ def _packed_chunk_reduce(cols_c, vals_c, xt, p, f, out_dtype):
     ).astype(out_dtype)
 
 
-def _bell_bin_reduce(cols, vals, x, out_dtype, p=1, f=None):
+def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None):
     """sum_k vals[v,k] * x[cols[v,k]] with the gather chunked to a
     bounded intermediate; per-chunk gathers fuse into their einsum.
-    When p > 1, `x` is a packed (n/p, p*f) table and `cols` holds
-    UNPACKED node ids (the // and % happen per chunk)."""
-    nb, k = cols.shape
+
+    cols_flat is the bin's 1-D slot-id slice — the (nb, k) view is taken
+    PER CHUNK only: a bin-level 2-D reshape of a huge-nb/small-k index
+    array can materialize 128-lane padded (64x, 79 GB at papers100M
+    scale).  When p > 1, `x` is a packed (n/p, p*f) table and cols hold
+    UNPACKED node ids (// and % happen per chunk)."""
+    nb = vals.shape[0]
     f = x.shape[1] if f is None else f
     rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f * p), 1), 1)
     n_chunks = max(-(-nb // rows_per_chunk), 1)
-    if n_chunks == 1:
+
+    def chunk_reduce(tab, cols_c, vals_c):
         if p > 1:
-            return _packed_chunk_reduce(cols, vals, x, p, f, out_dtype)
-        seg = x[cols]
+            return _packed_chunk_reduce(cols_c, vals_c, tab, p, f, out_dtype)
+        seg = tab[cols_c]
         return jnp.einsum(
-            "vk,vkf->vf", vals.astype(x.dtype), seg,
+            "vk,vkf->vf", vals_c.astype(x.dtype), seg,
             preferred_element_type=jnp.float32,
         ).astype(out_dtype)
+
+    if n_chunks == 1:
+        return chunk_reduce(x, cols_flat.reshape(nb, k), vals)
     outs = []
     # Two alternating barrier-chained table refs: chunk i+2's gather
     # waits on chunk i's output, so at most ~2 chunk buffers are live
@@ -249,16 +257,9 @@ def _bell_bin_reduce(cols, vals, x, out_dtype, p=1, f=None):
         lo = c * rows_per_chunk
         hi = min(nb, lo + rows_per_chunk)
         tab = tabs[c % 2]
-        cols_c = jax.lax.slice_in_dim(cols, lo, hi)
+        cols_c = jax.lax.slice_in_dim(cols_flat, lo * k, hi * k).reshape(hi - lo, k)
         vals_c = jax.lax.slice_in_dim(vals, lo, hi)
-        if p > 1:
-            o_c = _packed_chunk_reduce(cols_c, vals_c, tab, p, f, out_dtype)
-        else:
-            seg = tab[cols_c]
-            o_c = jnp.einsum(
-                "vk,vkf->vf", vals_c.astype(x.dtype), seg,
-                preferred_element_type=jnp.float32,
-            ).astype(out_dtype)
+        o_c = chunk_reduce(tab, cols_c, vals_c)
         tabs[c % 2], o_c = jax.lax.optimization_barrier((tab, o_c))
         outs.append(o_c)
     return jnp.concatenate(outs, axis=0)
@@ -286,8 +287,8 @@ def _bell_raw(bell, x, n_out_pad):
                 "vk,vkf->vf", vals.astype(x.dtype), seg,
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype)
-        cols = jax.lax.slice_in_dim(bell.flat_cols, off, off + nb * k).reshape(nb, k)
-        return _bell_bin_reduce(cols, vals, xt, x.dtype, p=p, f=f)
+        cols_flat = jax.lax.slice_in_dim(bell.flat_cols, off, off + nb * k)
+        return _bell_bin_reduce(cols_flat, vals, xt, x.dtype, k, p=p, f=f)
 
     parts = []
     off = 0
