@@ -89,7 +89,11 @@ def main():
         "with real npy exports was given (this image has no egress).\n"
         "Schema and protocol match the reference's evaluation harness\n"
         "(reference: scripts/Evaluations/*.py; 5-epoch warmup skipped,\n"
-        "mean seconds/epoch).\n",
+        "mean seconds/epoch).  Graph scales: Cora/Pubmed/Arxiv/CoraFull\n"
+        "at full registry shape; Reddit and Products at 0.25 of theirs\n"
+        "(27.4M / 30.9M edges — single v5e chip); Papers100M by sampled\n"
+        "fraction as in the reference's Table 6.  f32 activations unless\n"
+        "noted (bench.py reports the bf16 fast path).\n",
     ]
     for name, title, fmt in SECTIONS:
         header, rows = read(os.path.join(args.indir, name))
