@@ -143,8 +143,25 @@ def _eval_node(node: ComputeNode, env, params, graphs):
     raise NotImplementedError(f"lowering for op {op} not implemented")
 
 
+# ops whose outputs depend only on their own row — a row subset can be
+# selected before them without changing those rows' values
+_ROW_LOCAL_OPS = frozenset({
+    ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF,
+    ComputeOp.RELU, ComputeOp.LEAKY_RELU, ComputeOp.ROW_BROADCAST,
+    ComputeOp.ADD, ComputeOp.MUL, ComputeOp.SCALAR_ADD_EPS_MULTIPLY,
+})
+
+
 def make_forward(prog: Program):
-    """Build (invariant, forward) interpreters over the optimized IR."""
+    """Build (invariant, forward, forward_rows) interpreters over the
+    optimized IR.
+
+    forward_rows(params, graphs, carry, rows) evaluates the loop but
+    switches to the `rows` node subset at the last point where every
+    remaining op is row-local — the training loss then pays for the
+    classifier FFN and logits only on train-mask rows (the reference's
+    training-subgraph idea extended to the dense tail; on papers100M
+    shapes the (N, C) logits buffers dominate HBM)."""
     pre_nodes = [n for n in prog.pre if n.op is not ComputeOp.LOAD]
     loop_nodes = prog.loop.nodes if prog.loop else []
     feats_uid = None
@@ -154,6 +171,11 @@ def make_forward(prog: Program):
 
     # the carry exports every pre-node output the loop actually reads
     loop_reads = {d.uid for n in loop_nodes for d in n.inputs}
+
+    # cut = first index from which every node is row-local
+    cut = len(loop_nodes)
+    while cut > 0 and loop_nodes[cut - 1].op in _ROW_LOCAL_OPS:
+        cut -= 1
 
     def invariant(graphs, x):
         env = {feats_uid: x}
@@ -169,6 +191,24 @@ def make_forward(prog: Program):
             env[node.outputs[0].uid] = out
         return out
 
+    def forward_rows(params, graphs, carry, rows):
+        env = dict(carry) if isinstance(carry, dict) else {feats_uid: carry}
+        n_full = graphs[0].n_pad
+        out = None
+        for i, node in enumerate(loop_nodes):
+            if i == cut:
+                env = {
+                    u: v[rows]
+                    if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == n_full
+                    else v
+                    for u, v in env.items()
+                }
+            out = _eval_node(node, env, params, graphs)
+            env[node.outputs[0].uid] = out
+        if cut == len(loop_nodes):
+            out = out[rows]
+        return out
+
     # always return the invariant fn so the loop carry is a dict — the
     # per-epoch extras channel (_ra/_rb for dynamic sampling) rides in it
-    return invariant, forward
+    return invariant, forward, forward_rows

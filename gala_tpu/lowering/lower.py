@@ -44,6 +44,7 @@ class CompiledModel:
     invariant: object
     forward: object
     n_classes: int
+    forward_rows: object = None  # row-subset loss variant (see interp)
     # host-side data (post reorder/sample) for SPMD resharding
     host_graph: object = None
     host_train_graphs: object = None
@@ -71,6 +72,19 @@ class CompiledModel:
                 return {"_ra": jnp.int32(ra), "_rb": jnp.int32(rb)}
 
             kw["epoch_inputs"] = epoch_inputs
+        if kw.pop("select_rows", True) and self.forward_rows is not None \
+                and "train_rows" not in kw:
+            # training loss on train-mask rows only: the classifier FFN
+            # and (N, C) logits shrink to the mask fraction (row-local
+            # suffix selection, gala_tpu.lowering.interp.make_forward)
+            idx = np.flatnonzero(np.asarray(self.train_mask))
+            if idx.size:
+                pad = (-idx.size) % 8
+                n_pad = int(self.train_mask.shape[0])
+                # pad with the last padding row (mask False there)
+                idx = np.concatenate([idx, np.full(pad, n_pad - 1, idx.dtype)])
+                kw["train_rows"] = jax.numpy.asarray(idx.astype(np.int32))
+                kw["forward_rows"] = self.forward_rows
         return train(
             self.forward,
             params,
@@ -205,7 +219,7 @@ def lower(
     tm = full_g.pad_nodes(masks["train"])
     sm = full_g.pad_nodes(masks["test"])
 
-    invariant, forward = make_forward(prog)
+    invariant, forward, forward_rows = make_forward(prog)
     init_params = make_init_params(prog)
 
     return CompiledModel(
@@ -220,6 +234,7 @@ def lower(
         init_params=init_params,
         invariant=invariant,
         forward=forward,
+        forward_rows=forward_rows,
         n_classes=spec.graph.label_size if spec.graph.label_size > 0 else n_classes,
         # host-side retention (post-reorder/post-sample node labeling) so
         # the SPMD path (gala_tpu.parallel.compiled) can reshard the same

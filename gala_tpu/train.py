@@ -120,6 +120,8 @@ def train(
     epoch_inputs: Callable | None = None,
     checkpoint_path: str | None = None,
     resume_from: str | None = None,
+    forward_rows: Callable | None = None,
+    train_rows: jax.Array | None = None,
 ) -> TrainResult:
     """Run the full training protocol and return timing/accuracy stats.
 
@@ -185,10 +187,17 @@ def train(
     def fwd_train(params, extra):
         return fwd_any(params, gs_train, x_train_eff, extra)
 
-    def _loss(params, graphs, xc, y, tm, extra):
-        return masked_cross_entropy(
-            forward(params, graphs, _with_extra(xc, extra)), y, tm
-        )
+    if forward_rows is not None and train_rows is not None:
+        # training loss on the train-row subset only (classifier +
+        # logits at mask-fraction size; see interp.make_forward)
+        def _loss(params, graphs, xc, y, tm, extra):
+            lg = forward_rows(params, graphs, _with_extra(xc, extra), train_rows)
+            return masked_cross_entropy(lg, y[train_rows], tm[train_rows])
+    else:
+        def _loss(params, graphs, xc, y, tm, extra):
+            return masked_cross_entropy(
+                forward(params, graphs, _with_extra(xc, extra)), y, tm
+            )
 
     @jax.jit
     def step_any(params, opt_state, graphs, xc, y, tm, extra):
