@@ -39,12 +39,21 @@ def _baseline_forward(params, a_indices, a_vals, n, x):
 
 
 def main():
+    import argparse
+
     import optax
 
     from gala_tpu.data.datasets import load_dataset
     from gala_tpu.dsl.parser import parse_source
     from gala_tpu.lowering.lower import lower
     from __graft_entry__ import GCN_DSL
+
+    ap = argparse.ArgumentParser()
+    # one dtype applied to BOTH the compiled path and the naive baseline,
+    # so vs_baseline isolates compiler quality from precision choice
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    args = ap.parse_args()
+    act_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     # Arxiv-shaped graph (169k nodes, 1.17M edges, 128 feats, 40 classes)
     data = load_dataset("Arxiv", scale=1.0)
@@ -56,7 +65,7 @@ def main():
     spec = parse_source(GCN_DSL)
     # bf16 activations: the TPU-native precision choice (params/loss stay
     # f32); accuracy parity is asserted in tests and the verify flow
-    cm = lower(spec, mode="train", data=data, dtype=jnp.bfloat16)
+    cm = lower(spec, mode="train", data=data, dtype=act_dtype)
     res = cm.train(iters=iters, warmup=warmup)
     gala_epoch = res.total_time
 
@@ -65,7 +74,7 @@ def main():
     src = jnp.asarray(g_host.src.astype(np.int32))
     dst = jnp.asarray(g_host.dst.astype(np.int32))
     vals = jnp.asarray(g_host.vals)
-    x = jnp.asarray(feats)
+    x = jnp.asarray(feats).astype(act_dtype)
     y = jnp.asarray(labels)
     tm = jnp.asarray(masks["train"])
     rng = jax.random.key(0)

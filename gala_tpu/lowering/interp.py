@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from gala_tpu.ir.compute_ir import CompOpt, ComputeNode, ComputeOp, OpType, Program
-from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS, SYM_NODES
+from gala_tpu.ir.data_ir import DataFormat, SYM_CLASSES, SYM_FEATS, SYM_NODES
 from gala_tpu.models.common import linear, linear_init
 from gala_tpu.ops.edge import edge_softmax, leaky_relu, sddvv_add, sddvv_mul
 from gala_tpu.ops.graph import Graph
@@ -75,7 +75,21 @@ def _graph_for(node: ComputeNode, graphs) -> Graph:
 
 
 def _eval_node(node: ComputeNode, env, params, graphs):
-    ins = [env[d.uid] for d in node.inputs if d.uid in env]
+    # strict input resolution: every data input must be in the env except
+    # structural graph arguments (routed via _graph_for) and weight
+    # placeholders (routed via params) — a mis-wired IR raises here
+    # instead of surfacing as silently-wrong arity downstream
+    ins = []
+    for d in node.inputs:
+        if d.uid in env:
+            ins.append(env[d.uid])
+        elif d.is_graph or d.fmt is DataFormat.CM:
+            continue
+        else:
+            raise KeyError(
+                f"unresolved input '{d.name}' (uid {d.uid}) of op {node.op} "
+                f"— IR wiring bug (producer missing or not exported)"
+            )
     op = node.op
 
     # node-sized constants: per-shard rows inside shard_map (SPMD graphs

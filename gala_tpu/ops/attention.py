@@ -118,8 +118,14 @@ def build_attention_bell(g: HostCSR):
     """(forward layout, transpose layout).
 
     Self loops stay in the layout (GAT attends over neighbors + self, the
-    reference keeps them as ordinary edges)."""
-    hb = build_binned_ell(g, split_diag=False)
+    reference keeps them as ordinary edges).  The layouts are built with
+    OCCUPANCY values (1.0 per real edge): attention scores ignore edge
+    weights and the kernels use bin_vals/big_vals purely as slot masks —
+    reusing structural values would silently drop a real edge whose
+    weight happens to be exactly 0.0 from the softmax."""
+    occ = np.ones_like(g.vals, dtype=np.float32)
+    g1 = dataclasses.replace(g, vals=occ)
+    hb = build_binned_ell(g1, split_diag=False)
 
     order_t = np.argsort(g.src, kind="stable")
     counts = np.bincount(g.src, minlength=g.n_cols)
@@ -129,7 +135,7 @@ def build_attention_bell(g: HostCSR):
         n_rows=g.n_cols, n_cols=g.n_rows, row_ptr=rp,
         dst=g.src[order_t].astype(np.int32),
         src=g.dst[order_t].astype(np.int32),
-        vals=g.vals[order_t],
+        vals=occ,
     )
     hbt = build_binned_ell(gt, split_diag=False)
     return hb, hbt

@@ -191,8 +191,9 @@ class Graph:
         only for strategies that consume them (edge_vals fallbacks,
         segment paths, dense spmm_ev, in-kernel sampling — pass True
         when dynamic sampling is scheduled)."""
+        symmetric = is_symmetric(g)
         if undirected is None:
-            undirected = is_symmetric(g)
+            undirected = symmetric
 
         n = g.n_rows
         c = g.n_cols
@@ -256,7 +257,11 @@ class Graph:
 
             hb = build_binned_ell(g, phantom_col=c)
             bell = BellDev.from_host(hb, n_pad, n)
-            if undirected:
+            # alias the backward layout ONLY when A == A^T by VALUE: a
+            # caller passing undirected=True on a structurally symmetric
+            # graph with asymmetric weights must still get the true
+            # transpose (otherwise gradients flow through wrong weights)
+            if undirected and symmetric:
                 t_bell = bell
             else:
                 hbt = build_binned_ell(host_transpose(g), phantom_col=n)
