@@ -143,6 +143,12 @@ def inflation(ell: HostEll, n_edges: int) -> float:
 BIN_SIZES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
 K_BIG = 128
 
+# canonical slots per gather chunk: 2^19 slots * 128 phys lanes * 2B
+# (bf16) = 134MB per live chunk buffer — the same budget as
+# ops.spmm._BELL_CHUNK_ELEMS for f_phys=128.  Stage tables (below) are
+# built on these boundaries so host and device agree on the chunking.
+S_CHUNK = 1 << 19
+
 
 @dataclasses.dataclass
 class HostBinnedEll:
@@ -158,6 +164,75 @@ class HostBinnedEll:
     identity_order: bool
     flat_edge: np.ndarray | None = None  # (S,) int64 edge id per slot (pad -> E)
     n_edges_kept: int = 0                # edges represented (after diag split)
+
+
+@dataclasses.dataclass
+class HostStageTables:
+    """Per-chunk dedup tables for the staged (two-level) gather.
+
+    Measured on the v5e (scripts/bench_staged_gather.py): a row gather
+    from a table whose physical footprint exceeds ~100MB runs at
+    ~158M rows/s while a gather from a small staged table (kept opaque
+    with lax.optimization_barrier so XLA cannot fold the two gathers
+    back into one) runs at ~435M rows/s.  Deduplicating each chunk's
+    source ids and gathering only the unique rows from the big table
+    (stage 1, slow rate but few rows) then distributing them with a
+    small-table gather (stage 2, fast rate, all slots) wins whenever
+    the per-chunk unique fraction is below ~0.55:
+
+        t_staged / t_plain = uniq_frac + r_slow/r_fast  (~ u + 0.36)
+
+    Chunk boundaries are the canonical S_CHUNK slots so the device
+    kernel (ops.spmm._bell_bin_reduce) iterates identically."""
+
+    uniq: list[np.ndarray]    # per chunk, (U_pad,) int32 sorted unique ids
+    local: list[np.ndarray]   # per chunk, (rows*k,) int32 indices into uniq
+    chunk_rows: list[tuple]   # per chunk (seg_idx, lo, hi) for validation
+    uniq_frac: float          # sum(U) / sum(slots)
+
+
+def _segments(hb: "HostBinnedEll"):
+    """(k, n_rows, flat_off) per segment: the bins then the hub block —
+    the exact iteration order of ops.spmm._bell_raw."""
+    segs = []
+    off = 0
+    for k, nb in zip(hb.bin_ks, hb.bin_counts):
+        segs.append((k, nb, off))
+        off += nb * k
+    if hb.n_big:
+        vb, kb = hb.big_vals.shape
+        segs.append((kb, vb, off))
+        off += vb * kb
+    return segs
+
+
+def stage_chunks(k: int, n_rows: int):
+    """Canonical chunk bounds [(lo, hi), ...] in rows for a k-wide segment."""
+    rows = max(S_CHUNK // k, 1)
+    return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
+
+
+def build_stage_tables(hb: "HostBinnedEll") -> HostStageTables:
+    """Dedup every canonical chunk of every segment (one-time host cost,
+    O(S log S_CHUNK) via per-chunk sorts)."""
+    uniqs, locals_, meta = [], [], []
+    total_u = total_s = 0
+    for si, (k, n_rows, off) in enumerate(_segments(hb)):
+        for lo, hi in stage_chunks(k, n_rows):
+            cols = hb.flat_cols[off + lo * k : off + hi * k]
+            u, inv = np.unique(cols, return_inverse=True)
+            pad = (-u.shape[0]) % 8
+            if pad:
+                u = np.concatenate([u, np.full(pad, u[-1], u.dtype)])
+            uniqs.append(np.ascontiguousarray(u, np.int32))
+            locals_.append(np.ascontiguousarray(inv, np.int32))
+            meta.append((si, lo, hi))
+            total_u += u.shape[0]
+            total_s += cols.shape[0]
+    return HostStageTables(
+        uniq=uniqs, local=locals_, chunk_rows=meta,
+        uniq_frac=total_u / max(total_s, 1),
+    )
 
 
 def _bell_classes(deg: np.ndarray) -> np.ndarray:

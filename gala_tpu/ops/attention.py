@@ -70,12 +70,19 @@ def _chunks(n_rows: int, k: int, f: int):
     return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
 
 
-def _gather_slots(table, cols, p, fw):
+def _gather_slots(table, cols, p, fw, stage_pair=None):
     """Gather (rows, k, fw) slot rows from `table`; when p > 1 the table
     is node-packed (p nodes per physical row, see ops/spmm._pack_factor)
     and the slot's lane window is selected elementwise — every operand
-    stays 2-D (3-D small-minor operands tile-pad up to 64x)."""
+    stays 2-D (3-D small-minor operands tile-pad up to 64x).  When
+    `stage_pair` = (uniq, local) is given the gather runs two-level
+    through a barrier-staged dedup table (see ops/spmm._STAGE_MIN_BYTES;
+    measured 1.6-2x on cliff-sized tables)."""
     rows, k = cols.shape
+    if stage_pair is not None:
+        uniq, local = stage_pair
+        st = jax.lax.optimization_barrier(table[uniq])
+        return st[local.reshape(rows, k)]
     if p == 1:
         return table[cols]
     flat = cols.reshape(-1)
@@ -87,6 +94,21 @@ def _gather_slots(table, cols, p, fw):
             lane == c, jax.lax.slice_in_dim(seg2, c * fw, (c + 1) * fw, axis=1), 0
         )
     return acc.reshape(rows, k, fw)
+
+
+def _stage_ctx(bell, table, p, fw):
+    """Per-segment (uniq, local) stage-pair lists when the staged
+    two-level gather applies to this pass (see ops/spmm): table over the
+    cliff, no packing, and fw narrow enough that the attention chunk
+    bounds coincide with the canonical stage boundaries."""
+    from gala_tpu.ops.spmm import _STAGE_MIN_BYTES, _split_stage
+
+    itemsize = jnp.dtype(table.dtype).itemsize
+    tab_bytes = table.shape[0] * _phys_cols(fw) * itemsize
+    if (bell.stage is None or p != 1 or _phys_cols(fw) != 128
+            or tab_bytes <= _STAGE_MIN_BYTES):
+        return None
+    return _split_stage(bell)
 
 
 class _Pipeline:
@@ -160,10 +182,22 @@ class AttnBell:
 
     @classmethod
     def from_host(cls, g: HostCSR, n_pad: int, c_pad: int) -> "AttnBell":
+        from gala_tpu.data.ell import build_stage_tables
+        from gala_tpu.ops.graph import _STAGE_BUILD_BYTES
+
         hb, hbt = build_attention_bell(g)
+
+        def _stage(h, rows):
+            if rows * 128 * 2 <= _STAGE_BUILD_BYTES:
+                return None
+            st = build_stage_tables(h)
+            return st if st.uniq_frac < 0.55 else None
+
         return cls(
-            fwd=BellDev.from_host(hb, n_pad, g.n_rows),
-            t=BellDev.from_host(hbt, c_pad, g.n_cols),
+            fwd=BellDev.from_host(hb, n_pad, g.n_rows,
+                                  stage_tables=_stage(hb, g.n_cols)),
+            t=BellDev.from_host(hbt, c_pad, g.n_cols,
+                                stage_tables=_stage(hbt, g.n_rows)),
             rows=None if hb.identity_order else jnp.asarray(hb.order.astype(np.int32)),
             t_rows=None if hbt.identity_order else jnp.asarray(hbt.order.astype(np.int32)),
         )
@@ -263,15 +297,17 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     vr_bin = vr if ab.rows is None else vr[ab.rows]
     p_x = _pack_factor(xx.shape[0], f + 1, jnp.dtype(xx.dtype).itemsize)
     pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
+    sctx = _stage_ctx(b, xx, p_x, f + 1)
 
-    parts, ms, ss, off, r0 = [], [], [], 0, 0
+    parts, ms, ss, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
         outs, mcs, scs = [], [], []
-        for lo, hi in _chunks(nb, k, f + 1):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, f + 1)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = _gather_slots(pl.table(), cols, p_x, f + 1)
+            seg = _gather_slots(pl.table(), cols, p_x, f + 1,
+                                sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(w, lo, hi)
             z = seg[..., f].astype(jnp.float32) + vr_bin[
                 r0 + lo : r0 + hi
@@ -294,16 +330,18 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
         ss.append(jnp.concatenate(scs) if len(scs) > 1 else scs[0])
         off += nb * k
         r0 += nb
+        si += 1
     if b.n_big:
         vb, kb = b.big_vals.shape
         m = jnp.full((b.n_big,), _NEG, jnp.float32)
         s = jnp.zeros((b.n_big,), jnp.float32)
         acc = jnp.zeros((b.n_big, f), jnp.float32)
-        for lo, hi in _chunks(vb, kb, f + 1):
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, f + 1)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl.table(), cols, p_x, f + 1)
+            seg = _gather_slots(pl.table(), cols, p_x, f + 1,
+                                sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
             z = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
@@ -360,15 +398,17 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     dout_bin = dout if ab.rows is None else dout[ab.rows]
     p_x = _pack_factor(xx.shape[0], f + 1, jnp.dtype(xx.dtype).itemsize)
     pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
+    sctx = _stage_ctx(b, xx, p_x, f + 1)
 
-    sds_parts, a_parts, b_parts, off, r0 = [], [], [], 0, 0
+    sds_parts, a_parts, b_parts, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
         sds_cs, a_cs, b_cs = [], [], []
-        for lo, hi in _chunks(nb, k, f + 1):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, f + 1)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = _gather_slots(pl.table(), cols, p_x, f + 1)
+            seg = _gather_slots(pl.table(), cols, p_x, f + 1,
+                                sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(w, lo, hi)
             zpre = seg[..., f].astype(jnp.float32) + vr_bin[
                 r0 + lo : r0 + hi
@@ -394,16 +434,18 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         b_parts.append(jnp.concatenate(b_cs) if len(b_cs) > 1 else b_cs[0])
         off += nb * k
         r0 += nb
+        si += 1
     if b.n_big:
         vb, kb = b.big_vals.shape
         sds_b = jnp.zeros((b.n_big, 1), jnp.float32)
         a_b = jnp.zeros((b.n_big, 1), jnp.float32)
         b_b = jnp.zeros((b.n_big, 1), jnp.float32)
-        for lo, hi in _chunks(vb, kb, f + 1):
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, f + 1)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl.table(), cols, p_x, f + 1)
+            seg = _gather_slots(pl.table(), cols, p_x, f + 1,
+                                sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
             zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
@@ -449,6 +491,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     x_t = x.astype(jnp.float32) if ab.t_rows is None else x[ab.t_rows].astype(jnp.float32)
     p_w = _pack_factor(w_tab.shape[0], f + 4, jnp.dtype(w_tab.dtype).itemsize)
     pl2 = _Pipeline(_pack_table(w_tab, p_w) if p_w > 1 else w_tab)
+    sctx2 = _stage_ctx(t, w_tab, p_w, f + 4)
 
     def slot_grads(seg, vl_c, x_c, w):
         do = seg[..., :f]
@@ -463,14 +506,15 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         dvl_c = jnp.sum(dz, axis=1, keepdims=True)
         return jnp.concatenate([dx_c, dvl_c], axis=1)
 
-    parts, off, r0 = [], 0, 0
+    parts, off, r0, si = [], 0, 0, 0
     for k, nb, w in zip(t.bin_ks, t.bin_counts, t.bin_vals):
         outs = []
-        for lo, hi in _chunks(nb, k, f + 4):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, f + 4)):
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = _gather_slots(pl2.table(), cols, p_w, f + 4)
+            seg = _gather_slots(pl2.table(), cols, p_w, f + 4,
+                                sctx2[si][ci] if sctx2 else None)
             wv = jax.lax.slice_in_dim(w, lo, hi)
             o_c = slot_grads(seg, vl_t[r0 + lo : r0 + hi], x_t[r0 + lo : r0 + hi], wv)
             (o_c,) = pl2.step(o_c)
@@ -478,14 +522,16 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         parts.append(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
         off += nb * k
         r0 += nb
+        si += 1
     if t.n_big:
         vb, kb = t.big_vals.shape
         acc = jnp.zeros((t.n_big, f + 1), jnp.float32)
-        for lo, hi in _chunks(vb, kb, f + 4):
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, f + 4)):
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl2.table(), cols, p_w, f + 4)
+            seg = _gather_slots(pl2.table(), cols, p_w, f + 4,
+                                sctx2[si][ci] if sctx2 else None)
             wv = jax.lax.slice_in_dim(t.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(t.big_vrow, lo, hi)
             dgv = slot_grads(seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv)
@@ -601,7 +647,12 @@ def _attn_bwd_raw(ab: AttnBell, x, vl, vr, gth, probs, vr_bin, m_node, s_node,
 
 def _is_flat(ab: AttnBell, f: int) -> bool:
     """True when the whole slot table fits the gather-buffer budget (the
-    fast path: one flat gather, probabilities saved as residuals)."""
+    fast path: one flat gather, probabilities saved as residuals).
+    Layouts carrying stage tables always take the chunked path — their
+    node table is over the gather cliff, and only the chunked gathers
+    can ride the staged dedup tables."""
+    if ab.fwd.stage is not None or ab.t.stage is not None:
+        return False
     s_f = int(ab.fwd.flat_cols.shape[0]) * _phys_cols(f + 1)
     s_t = int(ab.t.flat_cols.shape[0]) * _phys_cols(f + 4)
     return max(s_f, s_t) <= _ATTN_FLAT_ELEMS
@@ -655,6 +706,9 @@ def _attn_bwd(n_pad, c_pad, slope, res, dout):
             big_vrow=_float0_like(b.big_vrow) if b.big_vrow is not None else None,
             diag=jnp.zeros_like(b.diag) if b.diag is not None else None,
             out_index=_float0_like(b.out_index) if b.out_index is not None else None,
+            stage=tuple(
+                (_float0_like(u), _float0_like(l)) for u, l in b.stage
+            ) if b.stage is not None else None,
         )
 
     dab = AttnBell(

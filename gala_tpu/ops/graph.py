@@ -56,17 +56,23 @@ class BellDev:
     big_vrow: jax.Array | None           # (Vb,) int32 sorted
     diag: jax.Array | None               # (n_pad, 1) f32, global order
     out_index: jax.Array | None          # (n_pad,) int32 into bin-order+1 rows
+    # staged-gather dedup tables (gala_tpu.data.ell.build_stage_tables):
+    # per canonical chunk a (uniq_ids, local_idx) pair; None when the
+    # graph is small enough that the direct gather is already fast
+    stage: tuple | None
     bin_ks: tuple                        # static
     bin_counts: tuple                    # static
     n_big: int                           # static
     n_real: int                          # static: real node count
+    uniq_frac: float = 1.0               # static: mean per-chunk unique frac
 
     def tree_flatten(self):
         children = (
             self.flat_cols, self.bin_vals, self.big_vals,
-            self.big_vrow, self.diag, self.out_index,
+            self.big_vrow, self.diag, self.out_index, self.stage,
         )
-        aux = (self.bin_ks, self.bin_counts, self.n_big, self.n_real)
+        aux = (self.bin_ks, self.bin_counts, self.n_big, self.n_real,
+               self.uniq_frac)
         return children, aux
 
     @classmethod
@@ -74,7 +80,8 @@ class BellDev:
         return cls(*children, *aux)
 
     @classmethod
-    def from_host(cls, hb, n_pad: int, n_real: int) -> "BellDev":
+    def from_host(cls, hb, n_pad: int, n_real: int,
+                  stage_tables=None) -> "BellDev":
         diag = None
         if hb.diag is not None:
             d = np.zeros((n_pad, 1), np.float32)
@@ -87,6 +94,14 @@ class BellDev:
             inv = np.full(n_pad, n_real, np.int32)
             inv[hb.order] = np.arange(n_real, dtype=np.int32)
             out_index = jnp.asarray(inv)
+        stage = None
+        uniq_frac = 1.0
+        if stage_tables is not None:
+            stage = tuple(
+                (jnp.asarray(u), jnp.asarray(l))
+                for u, l in zip(stage_tables.uniq, stage_tables.local)
+            )
+            uniq_frac = stage_tables.uniq_frac
         return cls(
             flat_cols=jnp.asarray(hb.flat_cols),
             bin_vals=tuple(jnp.asarray(v) for v in hb.bin_vals),
@@ -94,16 +109,21 @@ class BellDev:
             big_vrow=jnp.asarray(hb.big_vrow) if hb.big_vrow is not None else None,
             diag=diag,
             out_index=out_index,
+            stage=stage,
             bin_ks=hb.bin_ks,
             bin_counts=hb.bin_counts,
             n_big=hb.n_big,
             n_real=n_real,
+            uniq_frac=uniq_frac,
         )
 
 # Above this many scalar elements the one-shot (E,F) gather intermediate is
 # scanned in chunks instead (keeps peak memory ~CHUNK*F).
 _SEGMENT_ONESHOT_LIMIT = 1 << 27  # 128M elements ~ 512MB f32
 _DENSE_MAX_NODES = 16384  # N_pad^2 f32 <= 1GB; MXU wins below this size
+# build stage tables when a bf16 feature table could cross the gather
+# cliff (the runtime gate ops.spmm._STAGE_MIN_BYTES decides per dtype)
+_STAGE_BUILD_BYTES = 72 << 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -253,10 +273,24 @@ class Graph:
 
         bell = t_bell = None
         if strategy == "bell":
-            from gala_tpu.data.ell import build_binned_ell
+            from gala_tpu.data.ell import build_binned_ell, build_stage_tables
+
+            # staged-gather dedup tables pay off once the feature table's
+            # physical footprint crosses the measured gather cliff
+            # (ops.spmm._STAGE_MIN_BYTES); build them whenever a
+            # realistic table could get there (c rows x 128 lanes x 2B)
+            want_stage = c * 128 * 2 > _STAGE_BUILD_BYTES
+
+            def _stage(hb):
+                if not want_stage:
+                    return None
+                st = build_stage_tables(hb)
+                # beyond ~0.55 unique fraction staging loses to the
+                # direct gather; skip the device upload entirely
+                return st if st.uniq_frac < 0.55 else None
 
             hb = build_binned_ell(g, phantom_col=c)
-            bell = BellDev.from_host(hb, n_pad, n)
+            bell = BellDev.from_host(hb, n_pad, n, stage_tables=_stage(hb))
             # alias the backward layout ONLY when A == A^T by VALUE: a
             # caller passing undirected=True on a structurally symmetric
             # graph with asymmetric weights must still get the true
@@ -265,7 +299,7 @@ class Graph:
                 t_bell = bell
             else:
                 hbt = build_binned_ell(host_transpose(g), phantom_col=n)
-                t_bell = BellDev.from_host(hbt, c_pad, c)
+                t_bell = BellDev.from_host(hbt, c_pad, c, stage_tables=_stage(hbt))
 
         ell = t_ell = None
         if strategy == "ell":

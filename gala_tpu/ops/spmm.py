@@ -181,6 +181,19 @@ _BELL_FLAT_ELEMS = 1 << 29
 # selects each slot's lane window in one streaming pass.
 _PACK_MIN_BYTES = 96 << 20
 
+# Staged (two-level) gather: once the table's PHYSICAL footprint crosses
+# the gather cliff and node-packing cannot apply (f > 64), gather each
+# canonical chunk's UNIQUE rows from the big table (slow rate, few rows)
+# into a small staged table and distribute to slots with a fast
+# small-table gather.  Measured (scripts/bench_staged_gather.py, 627MB
+# bf16 table): plain 158M rows/s, staged 248-323M rows/s at unique
+# fractions 0.12-0.17; staging loses above ~0.55 unique fraction (the
+# layout builder skips the tables there).  The lax.optimization_barrier
+# around the staged table is what keeps XLA from folding the two
+# gathers back into one big-table gather.
+_STAGE_MIN_BYTES = 96 << 20
+_STAGE_MAX_PHYS = 256   # canonical chunks at f_phys 256 = 268MB buffers
+
 
 def _phys_cols(f: int) -> int:
     return ((f + 127) // 128) * 128
@@ -222,7 +235,7 @@ def _packed_chunk_reduce(cols_c, vals_c, xt, p, f, out_dtype):
     ).astype(out_dtype)
 
 
-def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None):
+def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None, stage=None):
     """sum_k vals[v,k] * x[cols[v,k]] with the gather chunked to a
     bounded intermediate; per-chunk gathers fuse into their einsum.
 
@@ -230,9 +243,32 @@ def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None):
     PER CHUNK only: a bin-level 2-D reshape of a huge-nb/small-k index
     array can materialize 128-lane padded (64x, 79 GB at papers100M
     scale).  When p > 1, `x` is a packed (n/p, p*f) table and cols hold
-    UNPACKED node ids (// and % happen per chunk)."""
+    UNPACKED node ids (// and % happen per chunk).  When `stage` is
+    given (list of per-chunk (uniq, local) dedup tables on the canonical
+    S_CHUNK boundaries) the gather runs two-level: uniq rows from the
+    big table, slots from the barrier-staged small table."""
     nb = vals.shape[0]
     f = x.shape[1] if f is None else f
+    if stage is not None:
+        from gala_tpu.data.ell import stage_chunks
+
+        bounds = stage_chunks(k, nb)
+        assert len(bounds) == len(stage), (len(bounds), len(stage))
+        outs = []
+        tabs = [x, x]
+        for c, (lo, hi) in enumerate(bounds):
+            uniq, local = stage[c]
+            tab = tabs[c % 2]
+            st = jax.lax.optimization_barrier(tab[uniq])
+            seg = st[local.reshape(hi - lo, k)]
+            vals_c = jax.lax.slice_in_dim(vals, lo, hi)
+            o_c = jnp.einsum(
+                "vk,vkf->vf", vals_c.astype(x.dtype), seg,
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
+            tabs[c % 2], o_c = jax.lax.optimization_barrier((tab, o_c))
+            outs.append(o_c)
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f * p), 1), 1)
     n_chunks = max(-(-nb // rows_per_chunk), 1)
 
@@ -265,22 +301,52 @@ def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None):
     return jnp.concatenate(outs, axis=0)
 
 
+def _split_stage(bell):
+    """Split the flat (uniq, local) chunk-pair tuple into per-segment
+    lists following the canonical chunk counts (data.ell.stage_chunks)."""
+    from gala_tpu.data.ell import stage_chunks
+
+    seg_shapes = [(k, nb) for k, nb in zip(bell.bin_ks, bell.bin_counts)]
+    if bell.n_big:
+        seg_shapes.append((bell.big_vals.shape[1], bell.big_vals.shape[0]))
+    out, i = [], 0
+    for k, nb in seg_shapes:
+        n_chunks = len(stage_chunks(k, nb))
+        out.append(list(bell.stage[i : i + n_chunks]))
+        i += n_chunks
+    assert i == len(bell.stage), (i, len(bell.stage))
+    return out
+
+
 def _bell_raw(bell, x, n_out_pad):
     """Per-degree-class gathers + dense reductions + hub segment-sum
     (see gala_tpu.data.ell.build_binned_ell).  Output is in global node
     order, padded to n_out_pad rows."""
     f = x.shape[1]
     s_total = bell.flat_cols.shape[0]
-    p = _pack_factor(x.shape[0], f, jnp.dtype(x.dtype).itemsize)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    p = _pack_factor(x.shape[0], f, itemsize)
     xt = _pack_table(x, p) if p > 1 else x
+    # staged two-level gather: only for big unpackable tables (f > 64)
+    # with enough per-chunk duplication to win (see _STAGE_MIN_BYTES)
+    tab_bytes = x.shape[0] * _phys_cols(f) * itemsize
+    use_stage = (
+        bell.stage is not None and p == 1
+        and tab_bytes > _STAGE_MIN_BYTES
+        and _phys_cols(f) <= _STAGE_MAX_PHYS
+    )
+    stage_by_seg = _split_stage(bell) if use_stage else None
     # one flat gather when the (S, F) intermediate fits the budget
     # (fastest); per-bin chunked gathers otherwise (bounded memory).
     # Packed mode always goes through the chunked reducer (its per-chunk
     # //p and %p keep every index intermediate chunk-sized).
-    flat = p == 1 and s_total * _phys_cols(f) <= _BELL_FLAT_ELEMS
+    flat = (
+        p == 1 and not use_stage
+        and s_total * _phys_cols(f) <= _BELL_FLAT_ELEMS
+    )
     gathered = x[bell.flat_cols] if flat else None
 
-    def bin_reduce(off, nb, k, vals):
+    def bin_reduce(off, nb, k, vals, seg_idx):
         if flat:
             seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(nb, k, f)
             return jnp.einsum(
@@ -288,16 +354,21 @@ def _bell_raw(bell, x, n_out_pad):
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype)
         cols_flat = jax.lax.slice_in_dim(bell.flat_cols, off, off + nb * k)
-        return _bell_bin_reduce(cols_flat, vals, xt, x.dtype, k, p=p, f=f)
+        return _bell_bin_reduce(
+            cols_flat, vals, xt, x.dtype, k, p=p, f=f,
+            stage=stage_by_seg[seg_idx] if use_stage else None,
+        )
 
     parts = []
     off = 0
+    seg_idx = 0
     for k, nb, vals in zip(bell.bin_ks, bell.bin_counts, bell.bin_vals):
-        parts.append(bin_reduce(off, nb, k, vals))
+        parts.append(bin_reduce(off, nb, k, vals, seg_idx))
         off += nb * k
+        seg_idx += 1
     if bell.n_big:
         vb, kb = bell.big_vals.shape
-        partial = bin_reduce(off, vb, kb, bell.big_vals)
+        partial = bin_reduce(off, vb, kb, bell.big_vals, seg_idx)
         parts.append(
             jax.ops.segment_sum(
                 partial, bell.big_vrow,
@@ -342,6 +413,9 @@ def _spmm_bell_bwd(n_out, c_out, res, dz):
             big_vrow=_float0_like(b.big_vrow) if b.big_vrow is not None else None,
             diag=jnp.zeros_like(b.diag) if b.diag is not None else None,
             out_index=_float0_like(b.out_index) if b.out_index is not None else None,
+            stage=tuple(
+                (_float0_like(u), _float0_like(l)) for u, l in b.stage
+            ) if b.stage is not None else None,
         )
 
     return (zeros_ct(bell), zeros_ct(t_bell), dx)

