@@ -6,9 +6,13 @@ the softmax values (reference: src/codegen/cuda.h:504-953 kernels and
 their autograd wrappers, src/codegen/common.h:700-1084) — with ONE
 fused op over the binned-ELL slot layout (gala_tpu/data/ell.py):
 
-- the src-side attention term `vl` rides as an extra feature column, so
+- the src-side attention terms `vl` ride as extra feature columns, so
   scores and aggregation share a single row gather (the dominant cost:
   the measured XLA gather rate is per-row, independent of row width);
+- MULTI-HEAD is free at the gather level: head h's features occupy
+  columns [h*fh, (h+1)*fh) of x and its score column is hf+h — all
+  heads share the one (S, hf+H) gather and differ only in the cheap
+  per-head streaming softmax/reduce (H <= 8 static Python loop);
 - softmax over each destination's neighbors is a *dense masked softmax*
   per degree-class bin (one virtual row per node) — no segment scatter;
   hub nodes (deg > 128) use a small segmented softmax across their
@@ -20,7 +24,7 @@ fused op over the binned-ELL slot layout (gala_tpu/data/ell.py):
   [dout | vr | m | s | sds] rows replaces any slot permutation.
 
 Cost per GAT layer ~= one GCN aggregation each way + a few extra
-feature columns.
+feature columns per head.
 """
 from __future__ import annotations
 
@@ -218,71 +222,97 @@ def _assemble(parts, bell, n_pad, f, dtype):
     return out
 
 
+def _head_softmax(seg, w, vr_rows, hf, fh, h, slope):
+    """Dense masked softmax + weighted reduce for head h of one bin
+    chunk.  seg: (rows, k, hf+H) gathered [x | vl] rows; w: (rows, k)
+    slot mask; vr_rows: (rows, H).  Returns (out_h, p, m, s)."""
+    z = seg[..., hf + h].astype(jnp.float32) + vr_rows[:, h : h + 1].astype(jnp.float32)
+    z = jnp.where(w != 0, _lrelu(z, slope), _NEG)
+    m = jnp.maximum(jnp.max(z, axis=1, keepdims=True), _NEG / 2)
+    p = jnp.where(w != 0, jnp.exp(z - m), 0.0)
+    s = jnp.sum(p, axis=1, keepdims=True)
+    s = jnp.where(s > 0, s, 1.0)
+    p = p / s
+    out = jnp.einsum(
+        "vk,vkf->vf", p.astype(seg.dtype), seg[..., h * fh : (h + 1) * fh],
+        preferred_element_type=jnp.float32,
+    ).astype(seg.dtype)
+    return out, p, m, s
+
+
 def _attn_fwd_raw(ab: AttnBell, x, vl, vr, slope, n_pad):
-    f = x.shape[1]
+    hf = x.shape[1]
+    nh = vl.shape[1]
+    fh = hf // nh
     b = ab.fwd
     xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
-    gth = xx[b.flat_cols]                                   # (S, F+1) — hot
-    vr_bin = vr if ab.rows is None else vr[ab.rows]         # (>=n_real, 1)
+    gth = xx[b.flat_cols]                                   # (S, hf+H) — hot
+    vr_bin = vr if ab.rows is None else vr[ab.rows]         # (>=n_real, H)
 
     parts, probs, ms, ss, off, r0 = [], [], [], [], 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
-        seg = jax.lax.slice_in_dim(gth, off, off + nb * k).reshape(nb, k, f + 1)
-        z = seg[..., f].astype(jnp.float32) + vr_bin[r0 : r0 + nb].astype(jnp.float32)
-        z = _lrelu(z, slope)
-        z = jnp.where(w != 0, z, _NEG)
-        m = jnp.maximum(jnp.max(z, axis=1, keepdims=True), _NEG / 2)
-        p = jnp.where(w != 0, jnp.exp(z - m), 0.0)
-        s = jnp.sum(p, axis=1, keepdims=True)
-        s = jnp.where(s > 0, s, 1.0)
-        p = p / s
-        parts.append(
-            jnp.einsum(
-                "vk,vkf->vf", p.astype(x.dtype), seg[..., :f],
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-        )
-        probs.append(p)
-        ms.append(m)
-        ss.append(s)
+        seg = jax.lax.slice_in_dim(gth, off, off + nb * k).reshape(nb, k, hf + nh)
+        outs_h, probs_h, m_h, s_h = [], [], [], []
+        for h in range(nh):
+            o, p, m, s = _head_softmax(
+                seg, w, vr_bin[r0 : r0 + nb], hf, fh, h, slope
+            )
+            outs_h.append(o)
+            probs_h.append(p)
+            m_h.append(m)
+            s_h.append(s)
+        parts.append(jnp.concatenate(outs_h, axis=1) if nh > 1 else outs_h[0])
+        probs.append(probs_h)
+        ms.append(jnp.concatenate(m_h, axis=1) if nh > 1 else m_h[0])
+        ss.append(jnp.concatenate(s_h, axis=1) if nh > 1 else s_h[0])
         off += nb * k
         r0 += nb
     if b.n_big:
         vb, kb = b.big_vals.shape
-        seg = jax.lax.slice_in_dim(gth, off, off + vb * kb).reshape(vb, kb, f + 1)
-        vr_big = vr_bin[r0 + b.big_vrow].astype(jnp.float32)    # (vb, 1)
-        z = _lrelu(seg[..., f].astype(jnp.float32) + vr_big, slope)
-        z = jnp.where(b.big_vals != 0, z, _NEG)
-        # max/sum across a hub node's virtual rows (tiny segment ops)
-        m = jax.ops.segment_max(
-            jnp.max(z, axis=1), b.big_vrow,
-            num_segments=b.n_big, indices_are_sorted=True,
-        )
-        m = jnp.maximum(m, _NEG / 2)
-        p = jnp.where(b.big_vals != 0, jnp.exp(z - m[b.big_vrow][:, None]), 0.0)
-        s = jax.ops.segment_sum(
-            jnp.sum(p, axis=1), b.big_vrow,
-            num_segments=b.n_big, indices_are_sorted=True,
-        )
-        s = jnp.where(s > 0, s, 1.0)
-        p = p / s[b.big_vrow][:, None]
-        part = jnp.einsum(
-            "vk,vkf->vf", p.astype(x.dtype), seg[..., :f],
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        parts.append(
-            jax.ops.segment_sum(
-                part, b.big_vrow, num_segments=b.n_big, indices_are_sorted=True
+        seg = jax.lax.slice_in_dim(gth, off, off + vb * kb).reshape(vb, kb, hf + nh)
+        vr_big = vr_bin[r0 + b.big_vrow]                        # (vb, H)
+        outs_h, probs_h, m_h, s_h = [], [], [], []
+        for h in range(nh):
+            z = _lrelu(
+                seg[..., hf + h].astype(jnp.float32)
+                + vr_big[:, h : h + 1].astype(jnp.float32),
+                slope,
             )
-        )
-        probs.append(p)
-        ms.append(m[:, None])
-        ss.append(s[:, None])
+            z = jnp.where(b.big_vals != 0, z, _NEG)
+            # max/sum across a hub node's virtual rows (tiny segment ops)
+            m = jax.ops.segment_max(
+                jnp.max(z, axis=1), b.big_vrow,
+                num_segments=b.n_big, indices_are_sorted=True,
+            )
+            m = jnp.maximum(m, _NEG / 2)
+            p = jnp.where(b.big_vals != 0, jnp.exp(z - m[b.big_vrow][:, None]), 0.0)
+            s = jax.ops.segment_sum(
+                jnp.sum(p, axis=1), b.big_vrow,
+                num_segments=b.n_big, indices_are_sorted=True,
+            )
+            s = jnp.where(s > 0, s, 1.0)
+            p = p / s[b.big_vrow][:, None]
+            part = jnp.einsum(
+                "vk,vkf->vf", p.astype(x.dtype), seg[..., h * fh : (h + 1) * fh],
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            outs_h.append(
+                jax.ops.segment_sum(
+                    part, b.big_vrow, num_segments=b.n_big, indices_are_sorted=True
+                )
+            )
+            probs_h.append(p)
+            m_h.append(m[:, None])
+            s_h.append(s[:, None])
+        parts.append(jnp.concatenate(outs_h, axis=1) if nh > 1 else outs_h[0])
+        probs.append(probs_h)
+        ms.append(jnp.concatenate(m_h, axis=1) if nh > 1 else m_h[0])
+        ss.append(jnp.concatenate(s_h, axis=1) if nh > 1 else s_h[0])
         off += vb * kb
-    out = _assemble(parts, b, n_pad, f, x.dtype)
+    out = _assemble(parts, b, n_pad, hf, x.dtype)
     # per-node softmax stats in GLOBAL order (node-sized backward tables)
-    m_node = _assemble(ms, b, n_pad, 1, jnp.float32)
-    s_node = _assemble(ss, b, n_pad, 1, jnp.float32)
+    m_node = _assemble(ms, b, n_pad, nh, jnp.float32)
+    s_node = _assemble(ss, b, n_pad, nh, jnp.float32)
     return out, gth, probs, vr_bin, m_node, s_node
 
 
@@ -291,36 +321,37 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     accumulates with an online (rescaling) softmax so no S-sized buffer
     ever materializes.  Returns per-node stats only (backward recomputes
     probabilities)."""
-    f = x.shape[1]
+    hf = x.shape[1]
+    nh = vl.shape[1]
+    fh = hf // nh
     b = ab.fwd
     xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
     vr_bin = vr if ab.rows is None else vr[ab.rows]
-    p_x = _pack_factor(xx.shape[0], f + 1, jnp.dtype(xx.dtype).itemsize)
+    p_x = _pack_factor(xx.shape[0], hf + nh, jnp.dtype(xx.dtype).itemsize)
     pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
-    sctx = _stage_ctx(b, xx, p_x, f + 1)
+    sctx = _stage_ctx(b, xx, p_x, hf + nh)
 
     parts, ms, ss, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
         outs, mcs, scs = [], [], []
-        for ci, (lo, hi) in enumerate(_chunks(nb, k, f + 1)):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = _gather_slots(pl.table(), cols, p_x, f + 1,
+            seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
                                 sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(w, lo, hi)
-            z = seg[..., f].astype(jnp.float32) + vr_bin[
-                r0 + lo : r0 + hi
-            ].astype(jnp.float32)
-            z = jnp.where(wv != 0, _lrelu(z, slope), _NEG)
-            m = jnp.maximum(jnp.max(z, axis=1, keepdims=True), _NEG / 2)
-            p = jnp.where(wv != 0, jnp.exp(z - m), 0.0)
-            s = jnp.sum(p, axis=1, keepdims=True)
-            s = jnp.where(s > 0, s, 1.0)
-            o_c = jnp.einsum(
-                "vk,vkf->vf", (p / s).astype(x.dtype), seg[..., :f],
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+            outs_h, m_h, s_h = [], [], []
+            for h in range(nh):
+                o, _, m, s = _head_softmax(
+                    seg, wv, vr_bin[r0 + lo : r0 + hi], hf, fh, h, slope
+                )
+                outs_h.append(o)
+                m_h.append(m)
+                s_h.append(s)
+            o_c = jnp.concatenate(outs_h, axis=1) if nh > 1 else outs_h[0]
+            m = jnp.concatenate(m_h, axis=1) if nh > 1 else m_h[0]
+            s = jnp.concatenate(s_h, axis=1) if nh > 1 else s_h[0]
             o_c, m, s = pl.step(o_c, m, s)
             outs.append(o_c)
             mcs.append(m)
@@ -333,53 +364,94 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
         si += 1
     if b.n_big:
         vb, kb = b.big_vals.shape
-        m = jnp.full((b.n_big,), _NEG, jnp.float32)
-        s = jnp.zeros((b.n_big,), jnp.float32)
-        acc = jnp.zeros((b.n_big, f), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, f + 1)):
+        m = jnp.full((b.n_big, nh), _NEG, jnp.float32)
+        s = jnp.zeros((b.n_big, nh), jnp.float32)
+        acc = jnp.zeros((b.n_big, hf), jnp.float32)
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, hf + nh)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl.table(), cols, p_x, f + 1,
+            seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
                                 sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
-            z = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
-                jnp.float32
-            )
-            z = jnp.where(wv != 0, _lrelu(z, slope), _NEG)
-            m_c = jax.ops.segment_max(
-                jnp.max(z, axis=1), vrow, num_segments=b.n_big,
-                indices_are_sorted=True,
-            )
-            m_new = jnp.maximum(m, jnp.maximum(m_c, _NEG))
-            p = jnp.where(wv != 0, jnp.exp(z - m_new[vrow][:, None]), 0.0)
-            s_c = jax.ops.segment_sum(
-                jnp.sum(p, axis=1), vrow, num_segments=b.n_big,
-                indices_are_sorted=True,
-            )
-            acc_c = jax.ops.segment_sum(
-                jnp.einsum(
-                    "vk,vkf->vf", p.astype(x.dtype), seg[..., :f],
-                    preferred_element_type=jnp.float32,
-                ),
-                vrow, num_segments=b.n_big, indices_are_sorted=True,
-            )
-            scale = jnp.exp(m - m_new)
-            s = s * scale + s_c
-            acc = acc * scale[:, None] + acc_c
-            m = m_new
+            m_hs, s_hs, acc_hs = [], [], []
+            for h in range(nh):
+                z = seg[..., hf + h].astype(jnp.float32) + vr_bin[
+                    r0 + vrow, h
+                ][:, None].astype(jnp.float32)
+                z = jnp.where(wv != 0, _lrelu(z, slope), _NEG)
+                m_c = jax.ops.segment_max(
+                    jnp.max(z, axis=1), vrow, num_segments=b.n_big,
+                    indices_are_sorted=True,
+                )
+                m_h = m[:, h]
+                m_new = jnp.maximum(m_h, jnp.maximum(m_c, _NEG))
+                p = jnp.where(wv != 0, jnp.exp(z - m_new[vrow][:, None]), 0.0)
+                s_c = jax.ops.segment_sum(
+                    jnp.sum(p, axis=1), vrow, num_segments=b.n_big,
+                    indices_are_sorted=True,
+                )
+                acc_c = jax.ops.segment_sum(
+                    jnp.einsum(
+                        "vk,vkf->vf", p.astype(x.dtype),
+                        seg[..., h * fh : (h + 1) * fh],
+                        preferred_element_type=jnp.float32,
+                    ),
+                    vrow, num_segments=b.n_big, indices_are_sorted=True,
+                )
+                scale = jnp.exp(m_h - m_new)
+                s_hs.append(s[:, h] * scale + s_c)
+                acc_hs.append(
+                    acc[:, h * fh : (h + 1) * fh] * scale[:, None] + acc_c
+                )
+                m_hs.append(m_new)
+            m = jnp.stack(m_hs, axis=1)
+            s = jnp.stack(s_hs, axis=1)
+            acc = jnp.concatenate(acc_hs, axis=1) if nh > 1 else acc_hs[0]
             m, s, acc = pl.step(m, s, acc)
         s = jnp.where(s > 0, s, 1.0)
-        parts.append((acc / s[:, None]).astype(x.dtype))
-        ms.append(jnp.maximum(m, _NEG / 2)[:, None])
-        ss.append(s[:, None])
-    out = _assemble(parts, b, n_pad, f, x.dtype)
+        out_big = jnp.concatenate(
+            [
+                (acc[:, h * fh : (h + 1) * fh] / s[:, h : h + 1]).astype(x.dtype)
+                for h in range(nh)
+            ],
+            axis=1,
+        ) if nh > 1 else (acc / s).astype(x.dtype)
+        parts.append(out_big)
+        ms.append(jnp.maximum(m, _NEG / 2))
+        ss.append(s)
+    out = _assemble(parts, b, n_pad, hf, x.dtype)
     m_bin = jnp.concatenate(ms) if len(ms) > 1 else ms[0]   # bin order
     s_bin = jnp.concatenate(ss) if len(ss) > 1 else ss[0]
-    m_node = _assemble([m_bin], b, n_pad, 1, jnp.float32)    # global order
-    s_node = _assemble([s_bin], b, n_pad, 1, jnp.float32)
+    m_node = _assemble([m_bin], b, n_pad, nh, jnp.float32)    # global order
+    s_node = _assemble([s_bin], b, n_pad, nh, jnp.float32)
     return out, vr_bin, m_bin, s_bin, m_node, s_node
+
+
+def _head_bwd_stats(seg, wv, vr_rows, dout_rows, m_rows, s_rows,
+                    hf, fh, h, slope):
+    """Pass-1 per-head accumulators for one bin chunk: probabilities
+    recomputed from the saved per-node stats, then
+      sds = sum_k p*dp,  A = sum p*dp*lrelu',  B = sum p*lrelu'
+    (dvr = A - sds*B without a second sweep)."""
+    zpre = seg[..., hf + h].astype(jnp.float32) + vr_rows[:, h : h + 1].astype(
+        jnp.float32
+    )
+    z = jnp.where(wv != 0, _lrelu(zpre, slope), _NEG)
+    p = jnp.where(
+        wv != 0, jnp.exp(z - m_rows[:, h : h + 1]) / s_rows[:, h : h + 1], 0.0
+    )
+    do = dout_rows[:, h * fh : (h + 1) * fh].astype(jnp.float32)
+    dp = jnp.sum(
+        seg[..., h * fh : (h + 1) * fh].astype(jnp.float32) * do[:, None, :],
+        axis=-1,
+    )
+    lr = jnp.where(zpre > 0, 1.0, slope)
+    sds = jnp.sum(p * dp, axis=1, keepdims=True)
+    a = jnp.sum(p * dp * lr, axis=1, keepdims=True)
+    bb = jnp.sum(p * lr, axis=1, keepdims=True)
+    return sds, a, bb
 
 
 def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
@@ -387,44 +459,45 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     """Memory-bounded backward: probabilities recomputed per chunk from
     the saved per-node softmax stats; one accumulation sweep per layout.
 
-    Pass 1 (forward layout) accumulates, per destination node,
+    Pass 1 (forward layout) accumulates, per destination node and head,
       sds = sum_slots p*dp,  A = sum p*dp*lrelu',  B = sum p*lrelu'
     so dvr = A - sds*B without a second sweep.  Pass 2 (transpose
     layout) is plain accumulation (no softmax normalization across the
     source dimension), chunked the same way."""
-    f = x.shape[1]
+    hf = x.shape[1]
+    nh = vl.shape[1]
+    fh = hf // nh
     b = ab.fwd
     xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
     dout_bin = dout if ab.rows is None else dout[ab.rows]
-    p_x = _pack_factor(xx.shape[0], f + 1, jnp.dtype(xx.dtype).itemsize)
+    p_x = _pack_factor(xx.shape[0], hf + nh, jnp.dtype(xx.dtype).itemsize)
     pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
-    sctx = _stage_ctx(b, xx, p_x, f + 1)
+    sctx = _stage_ctx(b, xx, p_x, hf + nh)
 
     sds_parts, a_parts, b_parts, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
         sds_cs, a_cs, b_cs = [], [], []
-        for ci, (lo, hi) in enumerate(_chunks(nb, k, f + 1)):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = _gather_slots(pl.table(), cols, p_x, f + 1,
+            seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
                                 sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(w, lo, hi)
-            zpre = seg[..., f].astype(jnp.float32) + vr_bin[
-                r0 + lo : r0 + hi
-            ].astype(jnp.float32)
-            z = jnp.where(wv != 0, _lrelu(zpre, slope), _NEG)
-            p = jnp.where(
-                wv != 0,
-                jnp.exp(z - m_bin[r0 + lo : r0 + hi]) / s_bin[r0 + lo : r0 + hi],
-                0.0,
-            )
-            do = dout_bin[r0 + lo : r0 + hi].astype(jnp.float32)
-            dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
-            lr = jnp.where(zpre > 0, 1.0, slope)
-            sds_c = jnp.sum(p * dp, axis=1, keepdims=True)
-            a_c = jnp.sum(p * dp * lr, axis=1, keepdims=True)
-            b_c = jnp.sum(p * lr, axis=1, keepdims=True)
+            sds_h, a_h, b_h = [], [], []
+            for h in range(nh):
+                sds_c, a_c, b_c = _head_bwd_stats(
+                    seg, wv, vr_bin[r0 + lo : r0 + hi],
+                    dout_bin[r0 + lo : r0 + hi],
+                    m_bin[r0 + lo : r0 + hi], s_bin[r0 + lo : r0 + hi],
+                    hf, fh, h, slope,
+                )
+                sds_h.append(sds_c)
+                a_h.append(a_c)
+                b_h.append(b_c)
+            sds_c = jnp.concatenate(sds_h, axis=1) if nh > 1 else sds_h[0]
+            a_c = jnp.concatenate(a_h, axis=1) if nh > 1 else a_h[0]
+            b_c = jnp.concatenate(b_h, axis=1) if nh > 1 else b_h[0]
             sds_c, a_c, b_c = pl.step(sds_c, a_c, b_c)
             sds_cs.append(sds_c)
             a_cs.append(a_c)
@@ -437,38 +510,35 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         si += 1
     if b.n_big:
         vb, kb = b.big_vals.shape
-        sds_b = jnp.zeros((b.n_big, 1), jnp.float32)
-        a_b = jnp.zeros((b.n_big, 1), jnp.float32)
-        b_b = jnp.zeros((b.n_big, 1), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, f + 1)):
+        sds_b = jnp.zeros((b.n_big, nh), jnp.float32)
+        a_b = jnp.zeros((b.n_big, nh), jnp.float32)
+        b_b = jnp.zeros((b.n_big, nh), jnp.float32)
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, hf + nh)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl.table(), cols, p_x, f + 1,
+            seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
                                 sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
-            zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 + vrow].astype(
-                jnp.float32
-            )
-            z = jnp.where(wv != 0, _lrelu(zpre, slope), _NEG)
-            p = jnp.where(
-                wv != 0,
-                jnp.exp(z - m_bin[r0 + vrow]) / s_bin[r0 + vrow],
-                0.0,
-            )
-            do = dout_bin[r0 + vrow].astype(jnp.float32)
-            dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
-            lr = jnp.where(zpre > 0, 1.0, slope)
+            sds_h, a_h, b_h = [], [], []
+            for h in range(nh):
+                sds_c, a_c, b_c = _head_bwd_stats(
+                    seg, wv, vr_bin[r0 + vrow], dout_bin[r0 + vrow],
+                    m_bin[r0 + vrow], s_bin[r0 + vrow], hf, fh, h, slope,
+                )
+                def seg_add(val):
+                    return jax.ops.segment_sum(
+                        val[:, 0], vrow, num_segments=b.n_big,
+                        indices_are_sorted=True,
+                    )[:, None]
 
-            def seg_add(acc, val):
-                return acc + jax.ops.segment_sum(
-                    val, vrow, num_segments=b.n_big, indices_are_sorted=True
-                )[:, None]
-
-            sds_b = seg_add(sds_b, jnp.sum(p * dp, axis=1))
-            a_b = seg_add(a_b, jnp.sum(p * dp * lr, axis=1))
-            b_b = seg_add(b_b, jnp.sum(p * lr, axis=1))
+                sds_h.append(seg_add(sds_c))
+                a_h.append(seg_add(a_c))
+                b_h.append(seg_add(b_c))
+            sds_b = sds_b + (jnp.concatenate(sds_h, axis=1) if nh > 1 else sds_h[0])
+            a_b = a_b + (jnp.concatenate(a_h, axis=1) if nh > 1 else a_h[0])
+            b_b = b_b + (jnp.concatenate(b_h, axis=1) if nh > 1 else b_h[0])
             sds_b, a_b, b_b = pl.step(sds_b, a_b, b_b)
         sds_parts.append(sds_b)
         a_parts.append(a_b)
@@ -477,8 +547,8 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     sds_bin = jnp.concatenate(sds_parts) if len(sds_parts) > 1 else sds_parts[0]
     a_bin = jnp.concatenate(a_parts) if len(a_parts) > 1 else a_parts[0]
     b_bin2 = jnp.concatenate(b_parts) if len(b_parts) > 1 else b_parts[0]
-    dvr = _assemble([a_bin - sds_bin * b_bin2], b, n_pad, 1, jnp.float32)
-    sds_node = _assemble([sds_bin], b, n_pad, 1, jnp.float32)
+    dvr = _assemble([a_bin - sds_bin * b_bin2], b, n_pad, nh, jnp.float32)
+    sds_node = _assemble([sds_bin], b, n_pad, nh, jnp.float32)
 
     # ---- pass 2 (transpose layout), chunked plain accumulation ------- #
     t = ab.t
@@ -489,34 +559,25 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     )
     vl_t = vl.astype(jnp.float32) if ab.t_rows is None else vl[ab.t_rows].astype(jnp.float32)
     x_t = x.astype(jnp.float32) if ab.t_rows is None else x[ab.t_rows].astype(jnp.float32)
-    p_w = _pack_factor(w_tab.shape[0], f + 4, jnp.dtype(w_tab.dtype).itemsize)
+    wt = hf + 4 * nh
+    p_w = _pack_factor(w_tab.shape[0], wt, jnp.dtype(w_tab.dtype).itemsize)
     pl2 = _Pipeline(_pack_table(w_tab, p_w) if p_w > 1 else w_tab)
-    sctx2 = _stage_ctx(t, w_tab, p_w, f + 4)
-
-    def slot_grads(seg, vl_c, x_c, w):
-        do = seg[..., :f]
-        vr_g, m_g, s_g, sds_g = (seg[..., f + i] for i in range(4))
-        zpre = vl_c + vr_g
-        z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
-        p = jnp.where(w != 0, jnp.exp(z - m_g) / s_g, 0.0)
-        dp = jnp.sum(do * x_c[:, None, :], axis=-1)
-        ds = p * (dp - sds_g)
-        dz = ds * jnp.where(zpre > 0, 1.0, slope)
-        dx_c = jnp.sum(p[..., None] * do, axis=1)
-        dvl_c = jnp.sum(dz, axis=1, keepdims=True)
-        return jnp.concatenate([dx_c, dvl_c], axis=1)
+    sctx2 = _stage_ctx(t, w_tab, p_w, wt)
 
     parts, off, r0, si = [], 0, 0, 0
     for k, nb, w in zip(t.bin_ks, t.bin_counts, t.bin_vals):
         outs = []
-        for ci, (lo, hi) in enumerate(_chunks(nb, k, f + 4)):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, wt)):
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
-            seg = _gather_slots(pl2.table(), cols, p_w, f + 4,
+            seg = _gather_slots(pl2.table(), cols, p_w, wt,
                                 sctx2[si][ci] if sctx2 else None)
             wv = jax.lax.slice_in_dim(w, lo, hi)
-            o_c = slot_grads(seg, vl_t[r0 + lo : r0 + hi], x_t[r0 + lo : r0 + hi], wv)
+            o_c = _slot_grads(
+                seg, vl_t[r0 + lo : r0 + hi], x_t[r0 + lo : r0 + hi], wv,
+                hf, fh, nh, slope,
+            )
             (o_c,) = pl2.step(o_c)
             outs.append(o_c)
         parts.append(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
@@ -525,75 +586,125 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         si += 1
     if t.n_big:
         vb, kb = t.big_vals.shape
-        acc = jnp.zeros((t.n_big, f + 1), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, f + 4)):
+        acc = jnp.zeros((t.n_big, hf + nh), jnp.float32)
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, wt)):
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl2.table(), cols, p_w, f + 4,
+            seg = _gather_slots(pl2.table(), cols, p_w, wt,
                                 sctx2[si][ci] if sctx2 else None)
             wv = jax.lax.slice_in_dim(t.big_vals, lo, hi)
             vrow = jax.lax.slice_in_dim(t.big_vrow, lo, hi)
-            dgv = slot_grads(seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv)
+            dgv = _slot_grads(
+                seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv, hf, fh, nh, slope
+            )
             acc = acc + jax.ops.segment_sum(
                 dgv, vrow, num_segments=t.n_big, indices_are_sorted=True
             )
             (acc,) = pl2.step(acc)
         parts.append(acc)
-    dxx = _assemble(parts, t, c_pad, f + 1, jnp.float32)
-    return dxx[:, :f], dxx[:, f:], dvr
+    dxx = _assemble(parts, t, c_pad, hf + nh, jnp.float32)
+    return dxx[:, :hf], dxx[:, hf:], dvr
+
+
+def _slot_grads(seg, vl_c, x_c, w, hf, fh, nh, slope):
+    """Transpose-layout slot gradients for all heads.
+
+    seg: (rows, k, hf+4H) gathered [dout | vr | m | s | sds] rows of
+    each slot's destination r; vl_c: (rows, H) / x_c: (rows, hf) this
+    t-row's (= source node c) values; w: (rows, k) slot mask.  Returns
+    (rows, hf + H) = [dx per head | dvl per head]."""
+    dx_h, dvl_h = [], []
+    for h in range(nh):
+        do = seg[..., h * fh : (h + 1) * fh]
+        vr_g = seg[..., hf + h]
+        m_g = seg[..., hf + nh + h]
+        s_g = seg[..., hf + 2 * nh + h]
+        sds_g = seg[..., hf + 3 * nh + h]
+        zpre = vl_c[:, h : h + 1] + vr_g
+        z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
+        p = jnp.where(w != 0, jnp.exp(z - m_g) / s_g, 0.0)
+        dp = jnp.sum(do * x_c[:, None, h * fh : (h + 1) * fh], axis=-1)
+        ds = p * (dp - sds_g)
+        dz = ds * jnp.where(zpre > 0, 1.0, slope)
+        dx_h.append(jnp.sum(p[..., None] * do, axis=1))
+        dvl_h.append(jnp.sum(dz, axis=1, keepdims=True))
+    dx = jnp.concatenate(dx_h, axis=1) if nh > 1 else dx_h[0]
+    dvl = jnp.concatenate(dvl_h, axis=1) if nh > 1 else dvl_h[0]
+    return jnp.concatenate([dx, dvl], axis=1)
 
 
 def _attn_bwd_raw(ab: AttnBell, x, vl, vr, gth, probs, vr_bin, m_node, s_node,
                   slope, dout, c_pad):
-    f1 = gth.shape[1]
-    f = f1 - 1
+    hf = x.shape[1]
+    nh = vl.shape[1]
+    fh = hf // nh
     b = ab.fwd
 
     dout_bin = dout if ab.rows is None else dout[ab.rows]
 
     # ---- pass 1 (forward layout, no gathers): dvr and the per-node
-    # softmax-backward row sums sds[r] = sum_s p_s * dp_s ---------------- #
+    # softmax-backward row sums sds[r,h] = sum_s p_s * dp_s ------------- #
     dvr_parts, sds_parts, off, r0, pi = [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
-        seg = jax.lax.slice_in_dim(gth, off, off + nb * k).reshape(nb, k, f1)
-        p = probs[pi]
-        do = dout_bin[r0 : r0 + nb].astype(jnp.float32)         # (nb, f)
-        # multiply+reduce, NOT einsum: a (nb, k, f) x (nb, f) einsum
-        # lowers to nb tiny batched matmuls, catastrophic on the MXU
-        dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
-        sds = jnp.sum(p * dp, axis=1, keepdims=True)
-        ds = p * (dp - sds)
-        zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 : r0 + nb].astype(jnp.float32)
-        dz = ds * jnp.where(zpre > 0, 1.0, slope)
-        dvr_parts.append(jnp.sum(dz, axis=1, keepdims=True))
-        sds_parts.append(sds)
+        seg = jax.lax.slice_in_dim(gth, off, off + nb * k).reshape(nb, k, hf + nh)
+        dvr_h, sds_h = [], []
+        for h in range(nh):
+            p = probs[pi][h]
+            do = dout_bin[r0 : r0 + nb, h * fh : (h + 1) * fh].astype(jnp.float32)
+            # multiply+reduce, NOT einsum: a (nb, k, f) x (nb, f) einsum
+            # lowers to nb tiny batched matmuls, catastrophic on the MXU
+            dp = jnp.sum(
+                seg[..., h * fh : (h + 1) * fh].astype(jnp.float32)
+                * do[:, None, :],
+                axis=-1,
+            )
+            sds = jnp.sum(p * dp, axis=1, keepdims=True)
+            ds = p * (dp - sds)
+            zpre = seg[..., hf + h].astype(jnp.float32) + vr_bin[
+                r0 : r0 + nb, h : h + 1
+            ].astype(jnp.float32)
+            dz = ds * jnp.where(zpre > 0, 1.0, slope)
+            dvr_h.append(jnp.sum(dz, axis=1, keepdims=True))
+            sds_h.append(sds)
+        dvr_parts.append(jnp.concatenate(dvr_h, axis=1) if nh > 1 else dvr_h[0])
+        sds_parts.append(jnp.concatenate(sds_h, axis=1) if nh > 1 else sds_h[0])
         off += nb * k
         r0 += nb
         pi += 1
     if b.n_big:
         vb, kb = b.big_vals.shape
-        seg = jax.lax.slice_in_dim(gth, off, off + vb * kb).reshape(vb, kb, f1)
-        p = probs[pi]
-        do = dout_bin[r0 + b.big_vrow].astype(jnp.float32)       # (vb, f)
-        dp = jnp.sum(seg[..., :f].astype(jnp.float32) * do[:, None, :], axis=-1)
-        sds = jax.ops.segment_sum(
-            jnp.sum(p * dp, axis=1), b.big_vrow,
-            num_segments=b.n_big, indices_are_sorted=True,
-        )[:, None]
-        ds = p * (dp - sds[b.big_vrow][:, 0][:, None])
-        zpre = seg[..., f].astype(jnp.float32) + vr_bin[r0 + b.big_vrow].astype(jnp.float32)
-        dz = ds * jnp.where(zpre > 0, 1.0, slope)
-        dvr_parts.append(
-            jax.ops.segment_sum(
-                jnp.sum(dz, axis=1, keepdims=True), b.big_vrow,
-                num_segments=b.n_big, indices_are_sorted=True,
+        seg = jax.lax.slice_in_dim(gth, off, off + vb * kb).reshape(vb, kb, hf + nh)
+        dvr_h, sds_h = [], []
+        for h in range(nh):
+            p = probs[pi][h]
+            do = dout_bin[r0 + b.big_vrow, h * fh : (h + 1) * fh].astype(jnp.float32)
+            dp = jnp.sum(
+                seg[..., h * fh : (h + 1) * fh].astype(jnp.float32)
+                * do[:, None, :],
+                axis=-1,
             )
-        )
-        sds_parts.append(sds)
+            sds = jax.ops.segment_sum(
+                jnp.sum(p * dp, axis=1), b.big_vrow,
+                num_segments=b.n_big, indices_are_sorted=True,
+            )[:, None]
+            ds = p * (dp - sds[b.big_vrow][:, 0][:, None])
+            zpre = seg[..., hf + h].astype(jnp.float32) + vr_bin[
+                r0 + b.big_vrow, h
+            ][:, None].astype(jnp.float32)
+            dz = ds * jnp.where(zpre > 0, 1.0, slope)
+            dvr_h.append(
+                jax.ops.segment_sum(
+                    jnp.sum(dz, axis=1, keepdims=True), b.big_vrow,
+                    num_segments=b.n_big, indices_are_sorted=True,
+                )
+            )
+            sds_h.append(sds)
+        dvr_parts.append(jnp.concatenate(dvr_h, axis=1) if nh > 1 else dvr_h[0])
+        sds_parts.append(jnp.concatenate(sds_h, axis=1) if nh > 1 else sds_h[0])
     n_pad = dout.shape[0]
-    dvr = _assemble(dvr_parts, b, n_pad, 1, jnp.float32)
-    sds_node = _assemble(sds_parts, b, n_pad, 1, jnp.float32)
+    dvr = _assemble(dvr_parts, b, n_pad, nh, jnp.float32)
+    sds_node = _assemble(sds_parts, b, n_pad, nh, jnp.float32)
 
     # ---- pass 2 (transpose layout): recompute p and dz per transpose
     # slot from node-sized tables, reduce densely --------------------- #
@@ -602,50 +713,37 @@ def _attn_bwd_raw(ab: AttnBell, x, vl, vr, gth, probs, vr_bin, m_node, s_node,
         [dout.astype(jnp.float32), vr.astype(jnp.float32),
          m_node, s_node, sds_node],
         axis=1,
-    )                                                            # (n_pad, f+4)
-    g2 = w_tab[t.flat_cols]                                      # (St, f+4) — hot
+    )                                                            # (n_pad, hf+4H)
+    wt = hf + 4 * nh
+    g2 = w_tab[t.flat_cols]                                      # (St, hf+4H) — hot
     vl_t = vl.astype(jnp.float32) if ab.t_rows is None else vl[ab.t_rows].astype(jnp.float32)
     x_t = x.astype(jnp.float32) if ab.t_rows is None else x[ab.t_rows].astype(jnp.float32)
 
-    def slot_grads(seg, vl_c, x_c, w):
-        """seg: (nb, k, f+4) gathered [dout|vr|m|s|sds] rows of the slot's
-        destination r; vl_c/x_c: (nb, 1)/(nb, f) this t-row's (= source
-        node c) values; w: (nb, k) slot mask."""
-        do = seg[..., :f]
-        vr_g, m_g, s_g, sds_g = (seg[..., f + i] for i in range(4))
-        zpre = vl_c + vr_g                                        # (nb, k)
-        z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
-        p = jnp.where(w != 0, jnp.exp(z - m_g) / s_g, 0.0)
-        dp = jnp.sum(do * x_c[:, None, :], axis=-1)               # <dout[r], x[c]>
-        ds = p * (dp - sds_g)
-        dz = ds * jnp.where(zpre > 0, 1.0, slope)
-        dx_c = jnp.sum(p[..., None] * do, axis=1)                 # (nb, f)
-        dvl_c = jnp.sum(dz, axis=1, keepdims=True)                # (nb, 1)
-        return jnp.concatenate([dx_c, dvl_c], axis=1)
-
     parts, off, r0 = [], 0, 0
     for k, nb, w in zip(t.bin_ks, t.bin_counts, t.bin_vals):
-        seg = jax.lax.slice_in_dim(g2, off, off + nb * k).reshape(nb, k, f + 4)
+        seg = jax.lax.slice_in_dim(g2, off, off + nb * k).reshape(nb, k, wt)
         parts.append(
-            slot_grads(seg, vl_t[r0 : r0 + nb], x_t[r0 : r0 + nb], w)
+            _slot_grads(seg, vl_t[r0 : r0 + nb], x_t[r0 : r0 + nb], w,
+                        hf, fh, nh, slope)
         )
         off += nb * k
         r0 += nb
     if t.n_big:
         vb, kb = t.big_vals.shape
-        seg = jax.lax.slice_in_dim(g2, off, off + vb * kb).reshape(vb, kb, f + 4)
+        seg = jax.lax.slice_in_dim(g2, off, off + vb * kb).reshape(vb, kb, wt)
         rowsel = r0 + t.big_vrow
-        dgv = slot_grads(seg, vl_t[rowsel], x_t[rowsel], t.big_vals)
+        dgv = _slot_grads(seg, vl_t[rowsel], x_t[rowsel], t.big_vals,
+                          hf, fh, nh, slope)
         parts.append(
             jax.ops.segment_sum(
                 dgv, t.big_vrow, num_segments=t.n_big, indices_are_sorted=True
             )
         )
-    dxx = _assemble(parts, t, c_pad, f1, jnp.float32)
-    return dxx[:, :f], dxx[:, f:], dvr
+    dxx = _assemble(parts, t, c_pad, hf + nh, jnp.float32)
+    return dxx[:, :hf], dxx[:, hf:], dvr
 
 
-def _is_flat(ab: AttnBell, f: int) -> bool:
+def _is_flat(ab: AttnBell, hf: int, nh: int) -> bool:
     """True when the whole slot table fits the gather-buffer budget (the
     fast path: one flat gather, probabilities saved as residuals).
     Layouts carrying stage tables always take the chunked path — their
@@ -653,18 +751,20 @@ def _is_flat(ab: AttnBell, f: int) -> bool:
     can ride the staged dedup tables."""
     if ab.fwd.stage is not None or ab.t.stage is not None:
         return False
-    s_f = int(ab.fwd.flat_cols.shape[0]) * _phys_cols(f + 1)
-    s_t = int(ab.t.flat_cols.shape[0]) * _phys_cols(f + 4)
+    s_f = int(ab.fwd.flat_cols.shape[0]) * _phys_cols(hf + nh)
+    s_t = int(ab.t.flat_cols.shape[0]) * _phys_cols(hf + 4 * nh)
     return max(s_f, s_t) <= _ATTN_FLAT_ELEMS
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def attention_aggregate(n_pad, c_pad, slope, ab: AttnBell, x, vl, vr):
-    """out = softmax-attention aggregation (single head).
+    """out = softmax-attention aggregation (H heads in one gather).
 
-    score(e: c->r) = leaky_relu(vl[c] + vr[r]); per-destination softmax;
-    out[r] = sum_c p(e) * x[c].  vl: (c_pad, 1), vr: (n_pad, 1)."""
-    if _is_flat(ab, x.shape[1]):
+    Head h: score(e: c->r) = leaky_relu(vl[c,h] + vr[r,h]);
+    per-destination softmax; out[r, h*fh:(h+1)*fh] = sum_c p_h(e) *
+    x[c, h*fh:(h+1)*fh].  vl: (c_pad, H), vr: (n_pad, H),
+    x: (c_pad, H*fh); H is inferred from vl (H=1 is the DSL GAT)."""
+    if _is_flat(ab, x.shape[1], vl.shape[1]):
         out, *_ = _attn_fwd_raw(ab, x, vl, vr, slope, n_pad)
     else:
         out, *_ = _attn_fwd_chunked(ab, x, vl, vr, slope, n_pad)
@@ -672,7 +772,7 @@ def attention_aggregate(n_pad, c_pad, slope, ab: AttnBell, x, vl, vr):
 
 
 def _attn_fwd(n_pad, c_pad, slope, ab, x, vl, vr):
-    if _is_flat(ab, x.shape[1]):
+    if _is_flat(ab, x.shape[1], vl.shape[1]):
         out, gth, probs, vr_bin, m_node, s_node = _attn_fwd_raw(
             ab, x, vl, vr, slope, n_pad
         )

@@ -152,11 +152,11 @@ def test_chunked_attention_matches_flat(attn_graph, monkeypatch):
         return jnp.sum(out * dout), out
 
     (l1, out1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
-    assert A._is_flat(g.attn, 16)
+    assert A._is_flat(g.attn, 16, 1)
 
     monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 4096)
     monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 4096)
-    assert not A._is_flat(g.attn, 16)
+    assert not A._is_flat(g.attn, 16, 1)
     (l2, out2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
 
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=2e-5, atol=2e-5)
@@ -188,3 +188,51 @@ def test_packed_chunked_attention_matches(attn_graph, monkeypatch):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=2e-5, atol=2e-5)
     for a1, a2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-4, atol=2e-5)
+
+
+def test_multihead_attention_vs_dense_reference(attn_graph, monkeypatch):
+    """H=4 fused attention (one gather for all heads) vs explicit
+    per-head dense softmax math, forward + grads, flat AND chunked."""
+    import gala_tpu.ops.attention as A
+
+    g_host, g = attn_graph
+    n = g_host.n_rows
+    a = jnp.asarray(densify(g_host))
+    nh, fh = 4, 6
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((g.c_pad, nh * fh)).astype(np.float32))
+    vl = jnp.asarray(rng.standard_normal((g.c_pad, nh)).astype(np.float32))
+    vr = jnp.asarray(rng.standard_normal((g.n_pad, nh)).astype(np.float32))
+
+    def dense_ref(x_, vl_, vr_):
+        outs = []
+        for h in range(nh):
+            outs.append(
+                _dense_attn(a, x_[:, h * fh : (h + 1) * fh],
+                            vl_[:, h : h + 1], vr_[:, h : h + 1], n)
+            )
+        return jnp.concatenate(outs, axis=1)
+
+    for chunked in (False, True):
+        if chunked:
+            monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 4096)
+            monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 4096)
+        out = attention_aggregate(g.n_pad, g.c_pad, SLOPE, g.attn, x, vl, vr)
+        ref = dense_ref(x, vl, vr)
+        np.testing.assert_allclose(
+            np.asarray(out)[:n], np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+        def f_loss(x_, vl_, vr_):
+            o = attention_aggregate(g.n_pad, g.c_pad, SLOPE, g.attn, x_, vl_, vr_)
+            return jnp.sum(jnp.sin(o[:n]))
+
+        def d_loss(x_, vl_, vr_):
+            return jnp.sum(jnp.sin(dense_ref(x_, vl_, vr_)[:n]))
+
+        gf = jax.grad(f_loss, argnums=(0, 1, 2))(x, vl, vr)
+        gd = jax.grad(d_loss, argnums=(0, 1, 2))(x, vl, vr)
+        for got, want in zip(gf, gd):
+            np.testing.assert_allclose(
+                np.asarray(got)[:n], np.asarray(want)[:n], rtol=2e-4, atol=2e-4
+            )
