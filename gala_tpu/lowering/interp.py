@@ -37,7 +37,8 @@ def param_specs(prog: Program) -> list[tuple[str, str, tuple[int, int], int]]:
     specs = []
     seen = set()
     for node in prog.all_nodes():
-        if node.op in (ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF):
+        if node.op in (ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF,
+                   ComputeOp.FFN_REPEAT):
             w = node.inputs[1]
             if w.name not in seen:
                 seen.add(w.name)
@@ -125,6 +126,12 @@ def _eval_node(node: ComputeNode, env, params, graphs):
         g = _graph_for(node, graphs)
         x, vl, vr = ins[0], ins[1], ins[2]
         slope = float(node.params[0]) if node.params else 0.2
+        if g.strategy == "spmd":
+            # sharded fused path: one [x|vl] exchange serves scores and
+            # aggregation (gala_tpu.parallel.ops.spmd_attention)
+            from gala_tpu.parallel.ops import spmd_attention
+
+            return spmd_attention(g, x, vl, vr, slope)
         if g.attn is not None:
             from gala_tpu.ops.attention import attention_aggregate
 
@@ -145,7 +152,8 @@ def _eval_node(node: ComputeNode, env, params, graphs):
         return leaky_relu(ins[0], slope)
     if op is ComputeOp.RELU:
         return jax.nn.relu(ins[0])
-    if op in (ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF):
+    if op in (ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF,
+              ComputeOp.FFN_REPEAT):
         w = node.inputs[1]
         return linear(params[w.name], ins[0])
     if op is ComputeOp.SCALAR_ADD_EPS_MULTIPLY:
@@ -161,7 +169,7 @@ def _eval_node(node: ComputeNode, env, params, graphs):
 # selected before them without changing those rows' values
 _ROW_LOCAL_OPS = frozenset({
     ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF,
-    ComputeOp.RELU, ComputeOp.LEAKY_RELU, ComputeOp.ROW_BROADCAST,
+    ComputeOp.FFN_REPEAT, ComputeOp.RELU, ComputeOp.LEAKY_RELU, ComputeOp.ROW_BROADCAST,
     ComputeOp.ADD, ComputeOp.MUL, ComputeOp.SCALAR_ADD_EPS_MULTIPLY,
 })
 

@@ -12,7 +12,7 @@ from gala_tpu.dsl.spec import ModelSpec
 from gala_tpu.ir.compute_ir import Program
 from gala_tpu.passes.code_motion import training_invariant_code_motion
 from gala_tpu.passes.reorder import operator_reordering
-from gala_tpu.passes.sparsify import sparsity_aware_rewrites
+from gala_tpu.passes.sparsify import ffn_recompute_rewrites, sparsity_aware_rewrites
 from gala_tpu.passes.subgraph import training_subgraph
 
 
@@ -26,6 +26,12 @@ def run_passes(prog: Program, spec: ModelSpec, mode: str = "train") -> Program:
         prog = operator_reordering(prog, enable_tim=train and spec.passes.train_code_motion)
     if spec.passes.sparse_rewrites:
         prog = sparsity_aware_rewrites(prog)
+        from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS
+
+        prog = ffn_recompute_rewrites(prog, {
+            SYM_FEATS: spec.graph.feat_size,
+            SYM_CLASSES: spec.graph.label_size,
+        })
     if train and spec.passes.train_code_motion:
         prog = training_invariant_code_motion(prog)
     if train and spec.passes.training_subgraph:

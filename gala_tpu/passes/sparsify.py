@@ -19,7 +19,7 @@ is later hoisted out of the loop by training-invariant code motion.
 from __future__ import annotations
 
 from gala_tpu.ir.compute_ir import ComputeNode, ComputeOp, OpType, Program
-from gala_tpu.ir.data_ir import DataFormat, DataNode
+from gala_tpu.ir.data_ir import DataFormat, DataNode, SYM_CLASSES, SYM_FEATS
 
 
 def _producer_of(loop_nodes, data):
@@ -96,4 +96,70 @@ def sparsity_aware_rewrites(prog: Program) -> Program:
             loop.nodes.remove(rb2)
             changed = True
             break
+    return prog
+
+
+def ffn_recompute_rewrites(prog: Program, dim_env: dict | None = None) -> Program:
+    """FFN-recompute rewrite (reference: src/middle-end/middle-end.h:325-380,
+    the FFN_OP_REPEAT half of sparsityAwareRewrites).
+
+    When an EXPANDING FFN (in_cols < out_cols) feeds both an earlier
+    consumer and a dense-graph aggregation, the aggregation is rewritten
+    to consume the FFN's (narrower) input — the SpMM streams fewer
+    feature columns — and the same weight is re-applied AFTER the
+    aggregation via an FFN_REPEAT node (A @ (X W) == (A @ X) W).  The
+    original FFN stays for its other consumer; only the aggregation's
+    operand narrows.  Mirrors the reference's guards: the aggregation
+    must be a 2nd-or-later use of the FFN output (a sole use is handled
+    by operator reordering instead) and the graph must NOT be marked
+    sparser (there the SDDVV rewrite above applies)."""
+    loop = prog.loop
+    if loop is None:
+        return prog
+    env = dim_env or {}
+
+    def cols_of(d: DataNode) -> int:
+        c = d.cols
+        return env.get(c, c) if c < 0 else c
+
+    changed = True
+    while changed:
+        changed = False
+        for i, ffn in enumerate(loop.nodes):
+            if ffn.op is not ComputeOp.FFN:
+                continue
+            out = ffn.outputs[0]
+            in_cols = cols_of(ffn.inputs[0])
+            out_cols = cols_of(out)
+            if in_cols < 0 or out_cols < 0 or in_cols >= out_cols:
+                continue
+            uses = 0
+            for j in range(i + 1, len(loop.nodes)):
+                n = loop.nodes[j]
+                if (uses > 0 and n.op is ComputeOp.AGGREGATE_MUL_SUM
+                        and n.inputs and n.inputs[0] is out
+                        and len(n.inputs) == 2
+                        and not n.inputs[1].sparser):
+                    orig = n.outputs[0]
+                    small = orig.clone(
+                        name=orig.name + "_pre",
+                        cols=ffn.inputs[0].cols,
+                        derived=True,
+                    )
+                    n.inputs[0] = ffn.inputs[0]
+                    n.outputs[0] = small
+                    rep = ComputeNode(
+                        op_type=OpType.UPDATE_NODE,
+                        op=ComputeOp.FFN_REPEAT,
+                        inputs=[small, ffn.inputs[1]],
+                        outputs=[orig],
+                        layer=n.layer,
+                    )
+                    loop.insert(j + 1, rep)
+                    changed = True
+                    break
+                if n.inputs and n.inputs[0] is out:
+                    uses += 1
+            if changed:
+                break
     return prog

@@ -131,3 +131,99 @@ def test_passes_preserve_accuracy(small_dataset):
         cm = lower(spec, mode="train", data=small_dataset)
         accs[label] = cm.train(iters=40, warmup=2).max_accuracy
     assert accs["all"] >= accs["none"] - 0.05
+
+
+def _ffn_recompute_prog():
+    """Hand-built loop triggering the FFN-recompute pattern: an
+    expanding FFN (8 -> 32) whose output feeds BOTH a relu (first use)
+    and a dense-graph aggregation (second use)."""
+    from gala_tpu.ir.compute_ir import (
+        ComputeNode, OpType, Program, TrainingLoop,
+    )
+    from gala_tpu.ir.data_ir import DataFormat, DataNode
+
+    x = DataNode(name="feats", fmt=DataFormat.RM, rows=-1, cols=8)
+    G = DataNode(name="graph", fmt=DataFormat.CSR, rows=-1, cols=-1, index=0)
+    w = DataNode(name="weight1", fmt=DataFormat.CM, rows=8, cols=32)
+    h = DataNode(name="h", fmt=DataFormat.RM, rows=-1, cols=32, derived=True)
+    r = DataNode(name="r", fmt=DataFormat.RM, rows=-1, cols=32, derived=True)
+    a = DataNode(name="res", fmt=DataFormat.RM, rows=-1, cols=32, derived=True)
+    o = DataNode(name="out", fmt=DataFormat.RM, rows=-1, cols=32, derived=True)
+    prog = Program(
+        pre=[ComputeNode(OpType.UPDATE_NODE, ComputeOp.LOAD, [], [x])],
+        loop=TrainingLoop(iters=5, nodes=[
+            ComputeNode(OpType.UPDATE_NODE, ComputeOp.FFN, [x, w], [h], layer=0),
+            ComputeNode(OpType.UPDATE_NODE, ComputeOp.RELU, [h], [r], layer=0),
+            ComputeNode(OpType.AGGREGATE_NODE, ComputeOp.AGGREGATE_MUL_SUM,
+                        [h, G], [a], layer=0),
+            ComputeNode(OpType.POINTWISE, ComputeOp.ADD, [a, r], [o], layer=0),
+        ]),
+        n_layers=1,
+    )
+    return prog
+
+
+def test_ffn_recompute_rewrite_shape():
+    from gala_tpu.passes.sparsify import ffn_recompute_rewrites
+
+    prog = ffn_recompute_rewrites(_ffn_recompute_prog())
+    ops = _ops(prog.loop.nodes)
+    assert ComputeOp.FFN_REPEAT in ops
+    # aggregation now consumes the NARROW pre-FFN features
+    agg = next(n for n in prog.loop.nodes if n.op is ComputeOp.AGGREGATE_MUL_SUM)
+    assert agg.inputs[0].cols == 8 and agg.outputs[0].cols == 8
+    rep = next(n for n in prog.loop.nodes if n.op is ComputeOp.FFN_REPEAT)
+    # FFN_REPEAT shares the original weight and feeds the old consumers
+    assert rep.inputs[1].name == "weight1"
+    assert rep.inputs[0] is agg.outputs[0]
+    add = next(n for n in prog.loop.nodes if n.op is ComputeOp.ADD)
+    assert add.inputs[0] is rep.outputs[0]
+    # the original FFN survives for its other consumer (the relu)
+    assert ComputeOp.FFN in ops
+    # the rewrite fires once, not repeatedly
+    assert ops.count(ComputeOp.FFN_REPEAT) == 1
+
+
+def test_ffn_recompute_skips_shrinking_and_sparser():
+    from gala_tpu.passes.sparsify import ffn_recompute_rewrites
+
+    # shrinking FFN: no rewrite
+    prog = _ffn_recompute_prog()
+    prog.loop.nodes[0].inputs[0].cols = 64
+    prog = ffn_recompute_rewrites(prog)
+    assert ComputeOp.FFN_REPEAT not in _ops(prog.loop.nodes)
+    # sparser graph: the SDDVV rewrite owns that case
+    prog = _ffn_recompute_prog()
+    for n in prog.loop.nodes:
+        if n.op is ComputeOp.AGGREGATE_MUL_SUM:
+            n.inputs[1].sparser = True
+    prog = ffn_recompute_rewrites(prog)
+    assert ComputeOp.FFN_REPEAT not in _ops(prog.loop.nodes)
+
+
+def test_ffn_recompute_numeric_equivalence(small_dataset):
+    """A @ (X W) == (A @ X) W with biases zeroed (the reference applies
+    the same fc module after aggregation, accepting the bias shift —
+    src/codegen/common.h:1243-1247; the linear part must match exactly)."""
+    import jax
+    from gala_tpu.lowering.interp import make_forward, make_init_params
+    from gala_tpu.ops.graph import Graph
+    from gala_tpu.passes.sparsify import ffn_recompute_rewrites
+
+    g_host, feats, *_ = small_dataset
+    g = Graph.from_host(g_host, strategy="segment")
+    xp = g.pad_nodes(np.random.default_rng(0).normal(
+        size=(g.n_nodes, 8)).astype(np.float32))
+
+    outs = []
+    for rewrite in (False, True):
+        prog = _ffn_recompute_prog()
+        if rewrite:
+            prog = ffn_recompute_rewrites(prog)
+            assert ComputeOp.FFN_REPEAT in _ops(prog.loop.nodes)
+        invariant, forward, _ = make_forward(prog)
+        params = make_init_params(prog)(jax.random.key(0), {})
+        params["weight1"]["b"] = params["weight1"]["b"] * 0.0
+        carry = invariant([g], xp)
+        outs.append(np.asarray(forward(params, [g], carry)))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-4, atol=1e-4)
