@@ -206,19 +206,26 @@ def _segments(hb: "HostBinnedEll"):
     return segs
 
 
-def stage_chunks(k: int, n_rows: int):
-    """Canonical chunk bounds [(lo, hi), ...] in rows for a k-wide segment."""
-    rows = max(S_CHUNK // k, 1)
+def stage_chunks(k: int, n_rows: int, chunk_slots: int = 0):
+    """Canonical chunk bounds [(lo, hi), ...] in rows for a k-wide
+    segment.  chunk_slots 0 means the canonical S_CHUNK; a
+    schedule-driven column tile (`col_tile` directive, the reference's
+    ordered column tiling — reference: src/ops/tiling.h:222-284)
+    overrides it so the DIR axis changes the executed chunk
+    granularity."""
+    rows = max((chunk_slots or S_CHUNK) // k, 1)
     return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
 
 
-def build_stage_tables(hb: "HostBinnedEll") -> HostStageTables:
+def build_stage_tables(
+    hb: "HostBinnedEll", chunk_slots: int = 0
+) -> HostStageTables:
     """Dedup every canonical chunk of every segment (one-time host cost,
     O(S log S_CHUNK) via per-chunk sorts)."""
     uniqs, locals_, meta = [], [], []
     total_u = total_s = 0
     for si, (k, n_rows, off) in enumerate(_segments(hb)):
-        for lo, hi in stage_chunks(k, n_rows):
+        for lo, hi in stage_chunks(k, n_rows, chunk_slots):
             cols = hb.flat_cols[off + lo * k : off + hi * k]
             u, inv = np.unique(cols, return_inverse=True)
             pad = (-u.shape[0]) % 8

@@ -191,9 +191,14 @@ def lower(
 
     # in-kernel dynamic sampling reads the raw CSR arrays on device
     keep_edges = True if spec.compute.sample_dynamic else "auto"
+    # DIR ordered column tiling: the schedule's col_tile directive (and
+    # the input-aware autoschedule's default) reaches the executor as
+    # the chunk granularity of the scan/bell/attention paths
+    # (reference: src/ops/tiling.h:222-284 + src/codegen/cuda.h:470-497)
     full_g = Graph.from_host(
         g_host, strategy=strategy, undirected=spec.graph.undirected,
         edge_vals=edge_vals, attention=attention, keep_edges=keep_edges,
+        col_tile=spec.col_tile or None,
     )
     n_layers = spec.num_layers
     full_graphs = [full_g] * n_layers
@@ -206,6 +211,7 @@ def lower(
             Graph.from_host(
                 s, strategy=full_g.strategy, undirected=False,
                 attention=attention, keep_edges=keep_edges,
+                col_tile=spec.col_tile or None,
             )
             for s in subs
         ]

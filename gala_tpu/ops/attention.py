@@ -67,10 +67,16 @@ def _lrelu(z, slope):
     return jnp.where(z > 0, z, slope * z)
 
 
-def _chunks(n_rows: int, k: int, f: int):
+def _chunks(n_rows: int, k: int, f: int, chunk_slots: int = 0):
     """Static chunk bounds [(lo, hi), ...] with ~_ATTN_CHUNK_ELEMS
-    *physical* elements per gathered buffer."""
-    rows = max(_ATTN_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
+    *physical* elements per gathered buffer.  A schedule-driven
+    `chunk_slots` (the DIR `col_tile` directive, reference:
+    src/ops/tiling.h:222-284) overrides the budget-derived granularity
+    so the schedule changes the executed chunking."""
+    if chunk_slots:
+        rows = max(chunk_slots // k, 1)
+    else:
+        rows = max(_ATTN_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
     return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
 
 
@@ -109,7 +115,12 @@ def _stage_ctx(bell, table, p, fw):
 
     itemsize = jnp.dtype(table.dtype).itemsize
     tab_bytes = table.shape[0] * _phys_cols(fw) * itemsize
-    if (bell.stage is None or p != 1 or _phys_cols(fw) != 128
+    # boundary coincidence: canonical stage tables (S_CHUNK slots) line
+    # up with the attention chunk bounds only at 128 physical lanes;
+    # schedule-driven tables are built on chunk_slots boundaries, which
+    # _chunks reproduces for ANY width
+    aligned = bell.chunk_slots or _phys_cols(fw) == 128
+    if (bell.stage is None or p != 1 or not aligned
             or tab_bytes <= _STAGE_MIN_BYTES):
         return None
     return _split_stage(bell)
@@ -185,8 +196,9 @@ class AttnBell:
         return cls(*children)
 
     @classmethod
-    def from_host(cls, g: HostCSR, n_pad: int, c_pad: int) -> "AttnBell":
-        from gala_tpu.data.ell import build_stage_tables
+    def from_host(cls, g: HostCSR, n_pad: int, c_pad: int,
+                  chunk_slots: int = 0) -> "AttnBell":
+        from gala_tpu.data.ell import S_CHUNK, build_stage_tables
         from gala_tpu.ops.graph import _STAGE_BUILD_BYTES
 
         hb, hbt = build_attention_bell(g)
@@ -194,14 +206,16 @@ class AttnBell:
         def _stage(h, rows):
             if rows * 128 * 2 <= _STAGE_BUILD_BYTES:
                 return None
-            st = build_stage_tables(h)
+            st = build_stage_tables(h, chunk_slots or S_CHUNK)
             return st if st.uniq_frac < 0.55 else None
 
         return cls(
             fwd=BellDev.from_host(hb, n_pad, g.n_rows,
-                                  stage_tables=_stage(hb, g.n_cols)),
+                                  stage_tables=_stage(hb, g.n_cols),
+                                  chunk_slots=chunk_slots),
             t=BellDev.from_host(hbt, c_pad, g.n_cols,
-                                stage_tables=_stage(hbt, g.n_rows)),
+                                stage_tables=_stage(hbt, g.n_rows),
+                                chunk_slots=chunk_slots),
             rows=None if hb.identity_order else jnp.asarray(hb.order.astype(np.int32)),
             t_rows=None if hbt.identity_order else jnp.asarray(hbt.order.astype(np.int32)),
         )
@@ -334,7 +348,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     parts, ms, ss, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
         outs, mcs, scs = [], [], []
-        for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh)):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh, b.chunk_slots)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
@@ -367,7 +381,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
         m = jnp.full((b.n_big, nh), _NEG, jnp.float32)
         s = jnp.zeros((b.n_big, nh), jnp.float32)
         acc = jnp.zeros((b.n_big, hf), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, hf + nh)):
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, hf + nh, b.chunk_slots)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
@@ -477,7 +491,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     sds_parts, a_parts, b_parts, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
         sds_cs, a_cs, b_cs = [], [], []
-        for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh)):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh, b.chunk_slots)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
@@ -513,7 +527,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         sds_b = jnp.zeros((b.n_big, nh), jnp.float32)
         a_b = jnp.zeros((b.n_big, nh), jnp.float32)
         b_b = jnp.zeros((b.n_big, nh), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, hf + nh)):
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, hf + nh, b.chunk_slots)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
@@ -567,7 +581,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     parts, off, r0, si = [], 0, 0, 0
     for k, nb, w in zip(t.bin_ks, t.bin_counts, t.bin_vals):
         outs = []
-        for ci, (lo, hi) in enumerate(_chunks(nb, k, wt)):
+        for ci, (lo, hi) in enumerate(_chunks(nb, k, wt, t.chunk_slots)):
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * k, off + hi * k
             ).reshape(hi - lo, k)
@@ -587,7 +601,7 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     if t.n_big:
         vb, kb = t.big_vals.shape
         acc = jnp.zeros((t.n_big, hf + nh), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, wt)):
+        for ci, (lo, hi) in enumerate(_chunks(vb, kb, wt, t.chunk_slots)):
             cols = jax.lax.slice_in_dim(
                 t.flat_cols, off + lo * kb, off + hi * kb
             ).reshape(hi - lo, kb)
@@ -748,8 +762,12 @@ def _is_flat(ab: AttnBell, hf: int, nh: int) -> bool:
     fast path: one flat gather, probabilities saved as residuals).
     Layouts carrying stage tables always take the chunked path — their
     node table is over the gather cliff, and only the chunked gathers
-    can ride the staged dedup tables."""
+    can ride the staged dedup tables.  A schedule-driven chunk_slots
+    (DIR col_tile) also forces the chunked path: the directive exists to
+    change the executed tiling."""
     if ab.fwd.stage is not None or ab.t.stage is not None:
+        return False
+    if ab.fwd.chunk_slots or ab.t.chunk_slots:
         return False
     s_f = int(ab.fwd.flat_cols.shape[0]) * _phys_cols(hf + nh)
     s_t = int(ab.t.flat_cols.shape[0]) * _phys_cols(hf + 4 * nh)

@@ -65,6 +65,8 @@ class BellDev:
     n_big: int                           # static
     n_real: int                          # static: real node count
     uniq_frac: float = 1.0               # static: mean per-chunk unique frac
+    chunk_slots: int = 0                 # static: schedule-driven chunk size
+                                         # (0 = canonical data.ell.S_CHUNK)
 
     def tree_flatten(self):
         children = (
@@ -72,7 +74,7 @@ class BellDev:
             self.big_vrow, self.diag, self.out_index, self.stage,
         )
         aux = (self.bin_ks, self.bin_counts, self.n_big, self.n_real,
-               self.uniq_frac)
+               self.uniq_frac, self.chunk_slots)
         return children, aux
 
     @classmethod
@@ -81,7 +83,7 @@ class BellDev:
 
     @classmethod
     def from_host(cls, hb, n_pad: int, n_real: int,
-                  stage_tables=None) -> "BellDev":
+                  stage_tables=None, chunk_slots: int = 0) -> "BellDev":
         diag = None
         if hb.diag is not None:
             d = np.zeros((n_pad, 1), np.float32)
@@ -115,6 +117,7 @@ class BellDev:
             n_big=hb.n_big,
             n_real=n_real,
             uniq_frac=uniq_frac,
+            chunk_slots=chunk_slots,
         )
 
 # Above this many scalar elements the one-shot (E,F) gather intermediate is
@@ -172,6 +175,11 @@ class Graph:
     e_pad: int              # padded edge count
     undirected: bool
     strategy: str
+    # schedule-driven ordered column tiling (DIR `col_tile` directive,
+    # reference: src/ops/tiling.h:222-284): edges per segment_scan chunk
+    # (0 = module default) — the bell/attention analog rides
+    # bell.chunk_slots
+    scan_chunk: int = 0
 
     # ------------------------------------------------------------------ #
     def tree_flatten(self):
@@ -187,6 +195,7 @@ class Graph:
         aux = (
             self.n_nodes, self.n_cols, self.n_pad, self.c_pad,
             self.n_edges, self.e_pad, self.undirected, self.strategy,
+            self.scan_chunk,
         )
         return children, aux
 
@@ -204,6 +213,7 @@ class Graph:
         edge_vals: bool = False,
         attention: bool = False,
         keep_edges: bool | str = "auto",
+        col_tile: float | None = None,
     ) -> "Graph":
         """keep_edges: upload the raw (padded) edge lists and transpose
         permutation.  The bell layout never reads them, and at scale the
@@ -228,6 +238,18 @@ class Graph:
             strategy = choose_strategy(n_pad, c_pad, e_real, edge_vals=edge_vals)
         if keep_edges == "auto":
             keep_edges = edge_vals or strategy != "bell"
+
+        # DIR col_tile (source rows per ordered column tile) -> executed
+        # chunk granularities: edges per scan chunk for the segment
+        # paths, slots per gather chunk for the bell/attention paths
+        chunk_slots = 0
+        scan_chunk = 0
+        if col_tile:
+            tile_rows = max(int(col_tile), 1)
+            mean_deg = max(e_real / max(c, 1), 1.0)
+            tile_edges = int(tile_rows * mean_deg)
+            scan_chunk = max(_round_up(tile_edges, EDGE_PAD), EDGE_PAD)
+            chunk_slots = max(_round_up(tile_edges, 4096), 4096)
 
         def pad_edges(dstv, srcv, valsv, phantom_dst, phantom_src):
             pad = e_pad - dstv.shape[0]
@@ -269,7 +291,7 @@ class Graph:
         if attention and strategy == "bell":
             from gala_tpu.ops.attention import AttnBell
 
-            attn = AttnBell.from_host(g, n_pad, c_pad)
+            attn = AttnBell.from_host(g, n_pad, c_pad, chunk_slots=chunk_slots)
 
         bell = t_bell = None
         if strategy == "bell":
@@ -281,16 +303,19 @@ class Graph:
             # realistic table could get there (c rows x 128 lanes x 2B)
             want_stage = c * 128 * 2 > _STAGE_BUILD_BYTES
 
+            from gala_tpu.data.ell import S_CHUNK
+
             def _stage(hb):
                 if not want_stage:
                     return None
-                st = build_stage_tables(hb)
+                st = build_stage_tables(hb, chunk_slots or S_CHUNK)
                 # beyond ~0.55 unique fraction staging loses to the
                 # direct gather; skip the device upload entirely
                 return st if st.uniq_frac < 0.55 else None
 
             hb = build_binned_ell(g, phantom_col=c)
-            bell = BellDev.from_host(hb, n_pad, n, stage_tables=_stage(hb))
+            bell = BellDev.from_host(hb, n_pad, n, stage_tables=_stage(hb),
+                                     chunk_slots=chunk_slots)
             # alias the backward layout ONLY when A == A^T by VALUE: a
             # caller passing undirected=True on a structurally symmetric
             # graph with asymmetric weights must still get the true
@@ -299,7 +324,8 @@ class Graph:
                 t_bell = bell
             else:
                 hbt = build_binned_ell(host_transpose(g), phantom_col=n)
-                t_bell = BellDev.from_host(hbt, c_pad, c, stage_tables=_stage(hbt))
+                t_bell = BellDev.from_host(hbt, c_pad, c, stage_tables=_stage(hbt),
+                                           chunk_slots=chunk_slots)
 
         ell = t_ell = None
         if strategy == "ell":
@@ -363,6 +389,7 @@ class Graph:
             e_pad=e_pad,
             undirected=undirected,
             strategy=strategy,
+            scan_chunk=scan_chunk,
         )
 
     # ------------------------------------------------------------------ #

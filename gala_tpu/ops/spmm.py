@@ -51,14 +51,23 @@ def _seg_oneshot(src, dst, vals, x, n_out):
     return jax.ops.segment_sum(msg, dst, num_segments=n_out, indices_are_sorted=True)
 
 
-def _seg_scan(src, dst, vals, x, n_out):
+def _seg_scan(src, dst, vals, x, n_out, chunk: int = 0):
+    """Chunked scatter-add aggregation.  `chunk` is the edges-per-chunk
+    granularity (0 = module default SCAN_CHUNK); the DIR `col_tile`
+    directive drives it through Graph.scan_chunk (reference ordered
+    column tiling: src/ops/tiling.h:222-284).  Edges are zero-padded up
+    to an exact multiple so the directive always chunks — never a
+    silent one-shot fallback."""
     e = src.shape[0]
-    n_chunks = max(e // SCAN_CHUNK, 1)
-    chunk = e // n_chunks
-    # e is padded to a multiple of 128; pick a chunking that divides exactly,
-    # falling back to one shot if it does not.
-    if chunk * n_chunks != e:
-        return _seg_oneshot(src, dst, vals, x, n_out)
+    chunk = min(chunk or SCAN_CHUNK, e)
+    n_chunks = -(-e // chunk)
+    pad = n_chunks * chunk - e
+    if pad:
+        # dst stays sorted (pad rows target the last padded row) and
+        # vals=0 keeps padding numerically inert
+        src = jnp.concatenate([src, jnp.zeros(pad, src.dtype)])
+        dst = jnp.concatenate([dst, jnp.full(pad, n_out - 1, dst.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros(pad, vals.dtype)])
     srcs = src.reshape(n_chunks, chunk)
     dsts = dst.reshape(n_chunks, chunk)
     valss = vals.reshape(n_chunks, chunk)
@@ -74,8 +83,12 @@ def _seg_scan(src, dst, vals, x, n_out):
     return acc
 
 
-def _seg_dispatch(src, dst, vals, x, n_out, scan: bool):
-    return (_seg_scan if scan else _seg_oneshot)(src, dst, vals, x, n_out)
+def _seg_dispatch(src, dst, vals, x, n_out, scan: int):
+    """scan == 0: one-shot segment_sum; scan > 0: chunked scatter-add
+    with `scan` edges per chunk."""
+    if scan:
+        return _seg_scan(src, dst, vals, x, n_out, scan)
+    return _seg_oneshot(src, dst, vals, x, n_out)
 
 
 # --------------------------------------------------------------------------- #
@@ -235,7 +248,8 @@ def _packed_chunk_reduce(cols_c, vals_c, xt, p, f, out_dtype):
     ).astype(out_dtype)
 
 
-def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None, stage=None):
+def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None, stage=None,
+                     chunk_slots=0):
     """sum_k vals[v,k] * x[cols[v,k]] with the gather chunked to a
     bounded intermediate; per-chunk gathers fuse into their einsum.
 
@@ -252,7 +266,7 @@ def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None, stage=None):
     if stage is not None:
         from gala_tpu.data.ell import stage_chunks
 
-        bounds = stage_chunks(k, nb)
+        bounds = stage_chunks(k, nb, chunk_slots)
         assert len(bounds) == len(stage), (len(bounds), len(stage))
         outs = []
         tabs = [x, x]
@@ -269,7 +283,12 @@ def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None, stage=None):
             tabs[c % 2], o_c = jax.lax.optimization_barrier((tab, o_c))
             outs.append(o_c)
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f * p), 1), 1)
+    if chunk_slots:
+        # schedule-driven ordered column tile (DIR col_tile): the
+        # directive's slot granularity wins over the memory budget
+        rows_per_chunk = max(chunk_slots // k, 1)
+    else:
+        rows_per_chunk = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f * p), 1), 1)
     n_chunks = max(-(-nb // rows_per_chunk), 1)
 
     def chunk_reduce(tab, cols_c, vals_c):
@@ -311,7 +330,7 @@ def _split_stage(bell):
         seg_shapes.append((bell.big_vals.shape[1], bell.big_vals.shape[0]))
     out, i = [], 0
     for k, nb in seg_shapes:
-        n_chunks = len(stage_chunks(k, nb))
+        n_chunks = len(stage_chunks(k, nb, bell.chunk_slots))
         out.append(list(bell.stage[i : i + n_chunks]))
         i += n_chunks
     assert i == len(bell.stage), (i, len(bell.stage))
@@ -341,7 +360,7 @@ def _bell_raw(bell, x, n_out_pad):
     # Packed mode always goes through the chunked reducer (its per-chunk
     # //p and %p keep every index intermediate chunk-sized).
     flat = (
-        p == 1 and not use_stage
+        p == 1 and not use_stage and not bell.chunk_slots
         and s_total * _phys_cols(f) <= _BELL_FLAT_ELEMS
     )
     gathered = x[bell.flat_cols] if flat else None
@@ -357,6 +376,7 @@ def _bell_raw(bell, x, n_out_pad):
         return _bell_bin_reduce(
             cols_flat, vals, xt, x.dtype, k, p=p, f=f,
             stage=stage_by_seg[seg_idx] if use_stage else None,
+            chunk_slots=bell.chunk_slots,
         )
 
     parts = []
@@ -578,7 +598,7 @@ def spmm(g: Graph, x: jax.Array) -> jax.Array:
         if g.use_halo:
             return spmd_spmm_halo(
                 g.src_halo, g.dst_local, g.vals, x, g.send_idx,
-                g.rows_per_shard, g.n_shards, g.halo,
+                g.rows_per_shard, g.n_shards, g.halo, g.edges_local,
             )
         return spmd_spmm(g.src, g.dst_local, g.vals, x, g.rows_per_shard)
     if g.strategy == "dense":
@@ -595,7 +615,7 @@ def spmm(g: Graph, x: jax.Array) -> jax.Array:
             g.ell_cols, g.ell_vals, g.ell_vrow,
             g.t_ell_cols, g.t_ell_vals, g.t_ell_vrow, x,
         )
-    scan = g.strategy == "segment_scan"
+    scan = (g.scan_chunk or SCAN_CHUNK) if g.strategy == "segment_scan" else 0
     return _spmm_seg(
         g.n_pad, g.c_pad, scan,
         g.src, g.dst, g.t_src, g.t_dst, g.vals, g.t_vals, x,
@@ -610,8 +630,15 @@ def spmm_ev(g: Graph, vals: jax.Array, x: jax.Array) -> jax.Array:
     (reference: src/codegen/common.h:863-892).
     """
     if g.strategy == "spmd":
-        from gala_tpu.parallel.ops import spmd_spmm_ev
+        from gala_tpu.parallel.ops import spmd_spmm_ev, spmd_spmm_halo
 
+        if g.use_halo:
+            # the halo kernel has no custom VJP: gradients flow to the
+            # learned edge values and the features alike
+            return spmd_spmm_halo(
+                g.src_halo, g.dst_local, vals, x, g.send_idx,
+                g.rows_per_shard, g.n_shards, g.halo, g.edges_local,
+            )
         return spmd_spmm_ev(g.src, g.dst_local, vals, x, g.rows_per_shard)
     if g.strategy == "dense":
         a = jnp.zeros((g.n_pad, g.c_pad), x.dtype)
@@ -630,7 +657,7 @@ def spmm_ev(g: Graph, vals: jax.Array, x: jax.Array) -> jax.Array:
                 "rebuild with keep_edges=True (or edge_vals=True)"
             )
         return _spmm_ev_seg(
-            g.n_pad, g.c_pad, False,
+            g.n_pad, g.c_pad, 0,
             g.src, g.dst, g.t_src, g.t_dst, g.t_perm, vals, x,
         )
     if g.strategy == "ell":
@@ -642,7 +669,7 @@ def spmm_ev(g: Graph, vals: jax.Array, x: jax.Array) -> jax.Array:
             g.t_ell_cols, g.t_ell_vrow, g.t_ell_perm, t_mask,
             g.src, g.dst, vals, x,
         )
-    scan = g.strategy == "segment_scan"
+    scan = (g.scan_chunk or SCAN_CHUNK) if g.strategy == "segment_scan" else 0
     return _spmm_ev_seg(
         g.n_pad, g.c_pad, scan,
         g.src, g.dst, g.t_src, g.t_dst, g.t_perm, vals, x,
