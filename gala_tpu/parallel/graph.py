@@ -46,15 +46,21 @@ class ShardedGraph:
     deg: jax.Array        # (S*r, 1) f32 in-degrees
     # halo-exchange layout (comm-optimal path): instead of all_gathering
     # the full feature matrix, each shard sends only the boundary rows
-    # its peers actually reference (all_to_all over ICI).
-    src_halo: jax.Array   # (S*Es,) int32 into [local rows | halo rows]
+    # its peers actually reference (all_to_all over ICI).  Each shard's
+    # edges are stored [local block | remote block]: edges whose source
+    # this shard owns occupy slots [0, El) and never touch the exchange,
+    # so XLA's latency-hiding scheduler overlaps the local partition's
+    # gather+reduce with the all_to_all (BASELINE.json: halo exchange
+    # "overlapped with local neighborhood aggregation").
+    src_halo: jax.Array   # (S*Es,) int32; [0,El): local row ids, [El,Es): r + halo slot
     send_idx: jax.Array   # (S*S, H) int32 local rows shard p sends to q
 
     n_shards: int
     rows_per_shard: int   # r: nodes per shard (padded)
     n_pad: int            # S * r == padded global node count
     n_nodes: int          # real node count
-    edges_per_shard: int  # Es
+    edges_per_shard: int  # Es = El + Er
+    edges_local: int      # El: slots of the local (no-exchange) block
     halo: int             # H: max boundary rows exchanged per shard pair
     use_halo: bool = False  # spmm via halo all_to_all instead of all_gather
 
@@ -74,7 +80,7 @@ class ShardedGraph:
             (self.src, self.dst_local, self.vals, self.deg,
              self.src_halo, self.send_idx),
             (self.n_shards, self.rows_per_shard, self.n_pad, self.n_nodes,
-             self.edges_per_shard, self.halo, self.use_halo),
+             self.edges_per_shard, self.edges_local, self.halo, self.use_halo),
         )
 
     @classmethod
@@ -89,18 +95,30 @@ class ShardedGraph:
         n_pad = r * n_shards
 
         shard_of = g.dst // r
-        per_shard = np.bincount(shard_of, minlength=n_shards)
-        es = _round_up(max(int(per_shard.max()), 1), 128)
+        src_of = g.src // r
+        is_local = src_of == shard_of
+        per_shard_l = np.bincount(shard_of[is_local], minlength=n_shards)
+        per_shard_r = np.bincount(shard_of[~is_local], minlength=n_shards)
+        el = _round_up(max(int(per_shard_l.max()), 1), 128)
+        er = _round_up(max(int(per_shard_r.max()), 1), 128)
+        es = el + er
 
         src = np.zeros((n_shards, es), np.int32)
         dstl = np.full((n_shards, es), r, np.int32)  # phantom row r
         vals = np.zeros((n_shards, es), np.float32)
+        reals = np.zeros((n_shards, es), bool)
         for s in range(n_shards):
-            sel = shard_of == s
-            k = int(sel.sum())
-            src[s, :k] = g.src[sel]
-            dstl[s, :k] = g.dst[sel] - s * r
-            vals[s, :k] = g.vals[sel]
+            sel_l = (shard_of == s) & is_local
+            sel_r = (shard_of == s) & ~is_local
+            kl, kr = int(sel_l.sum()), int(sel_r.sum())
+            src[s, :kl] = g.src[sel_l]
+            dstl[s, :kl] = g.dst[sel_l] - s * r
+            vals[s, :kl] = g.vals[sel_l]
+            reals[s, :kl] = True
+            src[s, el : el + kr] = g.src[sel_r]
+            dstl[s, el : el + kr] = g.dst[sel_r] - s * r
+            vals[s, el : el + kr] = g.vals[sel_r]
+            reals[s, el : el + kr] = True
 
         deg = np.zeros((n_pad, 1), np.float32)
         deg[:n, 0] = np.bincount(g.dst, minlength=n)
@@ -109,8 +127,7 @@ class ShardedGraph:
         # need[s][q] = sorted unique sources shard s reads from shard q.
         need = []
         for s in range(n_shards):
-            real = vals[s] != 0
-            srcs = src[s][real]
+            srcs = src[s][reals[s]]
             owner = srcs // r
             need.append([
                 np.unique(srcs[owner == q]) if q != s else np.zeros(0, np.int64)
@@ -130,8 +147,7 @@ class ShardedGraph:
         # owned u -> u - s*r ; remote u (owner q) -> r + q*h + pos(need[s][q], u)
         src_halo = np.full((n_shards, es), r, np.int32)  # phantom -> a local pad row
         for s in range(n_shards):
-            real = vals[s] != 0
-            srcs = src[s][real].astype(np.int64)
+            srcs = src[s][reals[s]].astype(np.int64)
             owner = srcs // r
             local = srcs - s * r
             for q in range(n_shards):
@@ -140,7 +156,7 @@ class ShardedGraph:
                     continue
                 local[sel] = r + q * h + np.searchsorted(need[s][q], srcs[sel])
             dest = np.full(es, r, np.int64)
-            dest[np.nonzero(real)[0]] = local
+            dest[np.nonzero(reals[s])[0]] = local
             src_halo[s] = dest.astype(np.int32)
 
         return cls(
@@ -155,6 +171,7 @@ class ShardedGraph:
             n_pad=n_pad,
             n_nodes=n,
             edges_per_shard=es,
+            edges_local=el,
             halo=h,
             use_halo=use_halo,
         )

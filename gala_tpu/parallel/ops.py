@@ -29,25 +29,39 @@ def spmd_spmm(src, dst_local, vals, x_shard, rows_per_shard):
 
 
 def spmd_spmm_halo(src_halo, dst_local, vals, x_shard, send_idx,
-                   rows_per_shard, n_shards, halo):
+                   rows_per_shard, n_shards, halo, edges_local):
     """out_shard = (A @ X) rows owned by this shard, exchanging only the
     boundary rows peers reference (all_to_all over ICI) instead of
     all_gathering the full feature matrix.
 
     send_idx: (S, H) local rows this shard contributes to each peer;
     src_halo indexes the per-shard [local rows | S*H halo rows] table.
+    Edges arrive partitioned [local block | remote block]
+    (ShardedGraph.edges_local): the local partition's gather+reduce has
+    NO data dependency on the exchange, so XLA's latency-hiding
+    scheduler overlaps it with the all_to_all (BASELINE.json: halo
+    exchange "overlapped with local neighborhood aggregation").
     Autodiff reverses the all_to_all and turns the gathers into
     scatter-adds, which is exactly the edge-partitioned backward.
+
+    `vals` may be structural weights OR learned per-edge values (GAT) —
+    there is no custom VJP here, gradients flow to every operand.
     """
     f = x_shard.shape[1]
+    r = rows_per_shard
+    el = edges_local
     send = x_shard[send_idx.reshape(-1)].reshape(n_shards, halo, f)
     recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
-    table = jnp.concatenate([x_shard, recv.reshape(n_shards * halo, f)], axis=0)
-    msg = vals[:, None] * table[src_halo]
-    out = jax.ops.segment_sum(
-        msg, dst_local, num_segments=rows_per_shard + 1, indices_are_sorted=False
-    )
-    return out[:rows_per_shard]
+    # local partition (independent of recv -> overlaps the collective)
+    xp = jnp.concatenate([x_shard, jnp.zeros((1, f), x_shard.dtype)], axis=0)
+    msg_l = vals[:el, None] * xp[src_halo[:el]]
+    out = jax.ops.segment_sum(msg_l, dst_local[:el], num_segments=r + 1)
+    # remote partition reads the exchanged halo rows (padding slots map
+    # to halo row 0 with vals 0 — numerically inert)
+    halo_tab = recv.reshape(n_shards * halo, f)
+    msg_r = vals[el:, None] * halo_tab[src_halo[el:] - r]
+    out = out + jax.ops.segment_sum(msg_r, dst_local[el:], num_segments=r + 1)
+    return out[:r]
 
 
 def spmd_spmm_ev(src, dst_local, evals, x_shard, rows_per_shard):
@@ -71,6 +85,49 @@ def spmd_sddvv_mul(src, dst_local, vl_shard, vr_shard, rows_per_shard):
     vl_full = jax.lax.all_gather(vl_shard, AXIS, tiled=True)
     vr_pad = jnp.concatenate([vr_shard, jnp.zeros((1, 1), vr_shard.dtype)])
     return vl_full[src, 0] * vr_pad[dst_local, 0]
+
+
+def spmd_attention(g, x_shard, vl_shard, vr_shard, slope):
+    """Sharded fused attention: ONE exchange (halo all_to_all or
+    all_gather) of the [x | vl] rows serves both the scores and the
+    aggregation — the shard_map analog of the single-chip fused op's
+    shared slot gather (gala_tpu.ops.attention).  Per-destination
+    softmax stays entirely local (dst-partitioning keeps every softmax
+    row on one shard).  Multi-head: head h reads feature columns
+    [h*fh, (h+1)*fh) and score column hf+h, H <= 8 static loop.
+
+    Replaces the interp's unfused SDDVV/softmax/SpMM-ev chain (three
+    separate gathers of the full feature matrix) under SPMD."""
+    hf = x_shard.shape[1]
+    nh = vl_shard.shape[1]
+    fh = hf // nh
+    r = g.rows_per_shard
+    f = hf + nh
+    xx = jnp.concatenate([x_shard, vl_shard.astype(x_shard.dtype)], axis=1)
+    if g.use_halo:
+        el = g.edges_local
+        send = xx[g.send_idx.reshape(-1)].reshape(g.n_shards, g.halo, f)
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+        xp = jnp.concatenate([xx, jnp.zeros((1, f), xx.dtype)], axis=0)
+        rows_l = xp[g.src_halo[:el]]
+        rows_r = recv.reshape(-1, f)[g.src_halo[el:] - r]
+        rows = jnp.concatenate([rows_l, rows_r], axis=0)   # block order == edge order
+    else:
+        rows = jax.lax.all_gather(xx, AXIS, tiled=True)[g.src]
+    vr_pad = jnp.concatenate(
+        [vr_shard, jnp.zeros((1, nh), vr_shard.dtype)], axis=0
+    )
+    outs = []
+    for h in range(nh):
+        z = rows[:, hf + h].astype(jnp.float32) + vr_pad[g.dst_local, h]
+        z = jnp.where(z > 0, z, slope * z)
+        p = spmd_edge_softmax(g.dst_local, z, g.vals, r)
+        out_h = jax.ops.segment_sum(
+            p[:, None].astype(x_shard.dtype) * rows[:, h * fh : (h + 1) * fh],
+            g.dst_local, num_segments=r + 1,
+        )[:r]
+        outs.append(out_h)
+    return jnp.concatenate(outs, axis=1) if nh > 1 else outs[0]
 
 
 def spmd_edge_softmax(dst_local, logits, vals, rows_per_shard):

@@ -67,7 +67,8 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         src=P("data"), dst_local=P("data"), vals=P("data"), deg=P("data"),
         src_halo=P("data"), send_idx=P("data"),
         n_shards=sg.n_shards, rows_per_shard=r, n_pad=sg.n_pad,
-        n_nodes=sg.n_nodes, edges_per_shard=sg.edges_per_shard, halo=sg.halo,
+        n_nodes=sg.n_nodes, edges_per_shard=sg.edges_per_shard,
+        edges_local=sg.edges_local, halo=sg.halo,
         use_halo=sg.use_halo,
     )
     pspecs = param_specs()
@@ -76,7 +77,7 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         if halo:
             return spmd_spmm_halo(
                 g.src_halo, g.dst_local, g.vals, h, g.send_idx,
-                r, sg.n_shards, sg.halo,
+                r, sg.n_shards, sg.halo, sg.edges_local,
             )
         return spmd_spmm(g.src, g.dst_local, g.vals, h, r)
 
