@@ -155,6 +155,24 @@ def _eval_node(node: ComputeNode, env, params, graphs):
     if op in (ComputeOp.FFN, ComputeOp.FFN_EDGE, ComputeOp.FFN_SELF,
               ComputeOp.FFN_REPEAT):
         w = node.inputs[1]
+        plan = getattr(graphs[0], "tp_plan", None)
+        if plan and dict(plan).get(w.name) == "row":
+            from gala_tpu.parallel.tp import MODEL_AXIS
+            # TP row-split closing matmul: each model shard holds a
+            # feature-slice of the input and the matching weight rows;
+            # one psum over ICI restores replication, bias added once
+            from gala_tpu.models.common import MATMUL_PRECISION
+
+            p = params[w.name]
+            x_in = ins[0]
+            part = jnp.dot(
+                x_in, p["w"].astype(x_in.dtype),
+                preferred_element_type=x_in.dtype,
+                precision=MATMUL_PRECISION,
+            )
+            return jax.lax.psum(part, MODEL_AXIS) + p["b"].astype(x_in.dtype)
+        # replicated or TP col-split: the weight arrives pre-split, the
+        # local matmul needs no collective
         return linear(params[w.name], ins[0])
     if op is ComputeOp.SCALAR_ADD_EPS_MULTIPLY:
         return (1.0 + params[f"eps{node.layer + 1}"]) * ins[0]

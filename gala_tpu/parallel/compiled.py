@@ -78,19 +78,25 @@ def shard_compiled(
     mesh: Mesh | None = None,
     use_halo: bool = False,
     dtype=None,
+    tp: bool = True,
 ) -> SpmdCompiled:
     """Reshard a CompiledModel over `mesh` (default: all visible devices
     on a 1-axis 'data' mesh).
 
     use_halo: exchange only boundary rows by all_to_all instead of
     all_gathering the full feature matrix per aggregation.
+    tp: when the mesh has a 'model' axis > 1, auto-plan Megatron
+    col/row FFN weight splits from the IR (gala_tpu.parallel.tp) so the
+    DSL-compiled program runs DP x TP; programs the planner cannot
+    shard safely fall back to replicated parameters.
     """
     if cm.host_graph is None:
         raise ValueError("CompiledModel lacks host data; re-run lower()")
     if cm.spec.compute.sample_dynamic:
         raise NotImplementedError("dynamic sampling is single-chip only")
     mesh = mesh or make_mesh(model_axis=1)
-    n_shards = int(np.prod(mesh.devices.shape))
+    # graph/node arrays shard over 'data' only; 'model' shards features
+    n_shards = int(mesh.shape["data"])
 
     n_layers = cm.spec.num_layers
     sg = ShardedGraph.from_host(cm.host_graph, n_shards, use_halo=use_halo)
@@ -120,10 +126,32 @@ def shard_compiled(
     tm = put(cm.host_masks["train"].astype(bool))
     sm_mask = put(cm.host_masks["test"].astype(bool))
 
+    # ---- TP plan: Megatron col/row FFN splits over the 'model' axis -- #
+    from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS
+    from gala_tpu.parallel.tp import param_pspecs, plan_tp
+
+    n_model = int(mesh.shape.get("model", 1))
+    dim_env = {
+        SYM_FEATS: int(np.asarray(cm.host_feats).shape[1]),
+        SYM_CLASSES: cm.n_classes,
+    }
+    plan = plan_tp(cm.program, dim_env, n_model) if tp else None
+    pspec = param_pspecs(cm.program, plan) if plan else P()
+    if plan:
+        # bake the plan into the graphs' static aux: interp's FFN
+        # lowering reads graphs[0].tp_plan at trace time — purely
+        # functional, nothing ambient to leak across traces
+        items = tuple(sorted(plan.items()))
+        full_graphs = [dataclasses.replace(g, tp_plan=items) for g in full_graphs]
+        if train_graphs is not None:
+            train_graphs = [
+                dataclasses.replace(g, tp_plan=items) for g in train_graphs
+            ]
+
     fwd = shard_map(
         cm.forward,
         mesh=mesh,
-        in_specs=(P(), P("data"), P("data")),
+        in_specs=(pspec, P("data"), P("data")),
         out_specs=P("data"),
         check_vma=False,
     )

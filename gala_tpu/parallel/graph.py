@@ -63,6 +63,9 @@ class ShardedGraph:
     edges_local: int      # El: slots of the local (no-exchange) block
     halo: int             # H: max boundary rows exchanged per shard pair
     use_halo: bool = False  # spmm via halo all_to_all instead of all_gather
+    # TP plan as sorted (weight_name, 'col'|'row') items — static aux so
+    # interp's FFN lowering sees it at trace time (gala_tpu.parallel.tp)
+    tp_plan: tuple = ()
 
     # op-layer dispatch markers (see ops/spmm.py, ops/edge.py)
     is_spmd = True
@@ -80,7 +83,8 @@ class ShardedGraph:
             (self.src, self.dst_local, self.vals, self.deg,
              self.src_halo, self.send_idx),
             (self.n_shards, self.rows_per_shard, self.n_pad, self.n_nodes,
-             self.edges_per_shard, self.edges_local, self.halo, self.use_halo),
+             self.edges_per_shard, self.edges_local, self.halo, self.use_halo,
+             self.tp_plan),
         )
 
     @classmethod

@@ -99,3 +99,61 @@ def test_spmd_with_subgraph_pass():
     assert sm.train_graphs is not None and len(sm.train_graphs) == 2
     res = sm.train(iters=12)
     assert np.isfinite(res.total_time)
+
+
+@pytest.mark.parametrize("model", ["gcn", "gat", "gin", "sage"])
+def test_spmd_tp_forward_matches_single(model):
+    """DP x TP on the compiled path: auto-planned Megatron col/row FFN
+    splits over the 'model' axis (gala_tpu.parallel.tp) must reproduce
+    the single-device logits."""
+    from gala_tpu.parallel.tp import plan_tp
+    from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS
+
+    cm = _compile(model)
+    logits, params = _single_logits(cm)
+    mesh = make_mesh(8, model_axis=2)
+    sm = shard_compiled(cm, mesh=mesh, use_halo=(model == "gat"))
+    dim_env = {SYM_FEATS: int(np.asarray(cm.host_feats).shape[1]),
+               SYM_CLASSES: cm.n_classes}
+    assert plan_tp(cm.program, dim_env, 2), f"{model}: TP plan expected"
+    with sm.mesh:
+        carry_s = jax.jit(sm.invariant)(sm.full_graphs, sm.x)
+        logits_s = jax.jit(sm.forward)(params, sm.full_graphs, carry_s)
+    n = cm.host_graph.n_rows
+    np.testing.assert_allclose(
+        np.asarray(logits_s[:n], np.float32),
+        np.asarray(logits[:n], np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_spmd_tp_trains_to_accuracy():
+    cm = _compile("gcn")
+    sm = shard_compiled(cm, mesh=make_mesh(8, model_axis=2), use_halo=True)
+    res = sm.train(iters=30)
+    assert res.max_accuracy > 0.75, res.max_accuracy
+
+
+def test_spmd_unfused_chain_halo():
+    """attention_fusion off: the SDDVV/softmax/SpMM-ev chain under SPMD,
+    with the learned-edge-value aggregation riding the halo exchange."""
+    src = _ev.make_dsl("gat", "SpmdTest", hidden=16, iters=8)
+    import gala_tpu as gt
+    from gala_tpu.dsl.parser import parse_source
+
+    spec = parse_source(src)
+    spec.passes.attention_fusion = False
+    from gala_tpu.lowering.lower import lower
+
+    cm = lower(spec, mode="train", scale=1.0, strategy="segment")
+    logits, params = _single_logits(cm)
+    sm = shard_compiled(cm, use_halo=True)
+    with sm.mesh:
+        carry_s = jax.jit(sm.invariant)(sm.full_graphs, sm.x)
+        logits_s = jax.jit(sm.forward)(params, sm.full_graphs, carry_s)
+    n = cm.host_graph.n_rows
+    np.testing.assert_allclose(
+        np.asarray(logits_s[:n], np.float32),
+        np.asarray(logits[:n], np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
