@@ -60,6 +60,12 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     mode = "train" if args.driver.startswith("train") else "inference"
+    if args.driver == "inference_long":
+        # int64 device arrays require x64 mode (JAX canonicalizes them
+        # to int32 otherwise); must happen before any jax op
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     dtype = {None: None, "bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
 
     cm = compile_file(
@@ -70,15 +76,15 @@ def main(argv=None):
         strategy=args.strategy,
         seed=args.seed,
         dtype=dtype,
+        # int64 edge ids/offsets (t_perm, CSR row_ptr, ELL perms) for
+        # >2^31-edge graphs; auto-enabled past that size regardless
+        use_long=args.driver == "inference_long",
     )
     # driver-baked flag matrix (reference: the per-executable diffs)
     if args.driver == "inference_sample":
         cm.spec.print_accuracy = True
     if args.driver == "train_memory":
         cm.spec.print_memory = True
-    if args.driver == "inference_long":
-        cm.spec.use_long = True  # int64-scale bookkeeping (indices stay
-        #                          int32 until graphs exceed 2^31 edges)
     print(
         f"# GALA-TPU compile: {time.perf_counter() - t0:.2f}s "
         f"(reference prints 'Time taken for GALA compilation')",

@@ -77,14 +77,23 @@ class CompiledModel:
             # training loss on train-mask rows only: the classifier FFN
             # and (N, C) logits shrink to the mask fraction (row-local
             # suffix selection, gala_tpu.lowering.interp.make_forward)
-            idx = np.flatnonzero(np.asarray(self.train_mask))
-            if idx.size:
+            def rows_of(mask):
+                idx = np.flatnonzero(np.asarray(mask))
+                if not idx.size:
+                    return None
                 pad = (-idx.size) % 8
-                n_pad = int(self.train_mask.shape[0])
+                n_pad = int(mask.shape[0])
                 # pad with the last padding row (mask False there)
                 idx = np.concatenate([idx, np.full(pad, n_pad - 1, idx.dtype)])
-                kw["train_rows"] = jax.numpy.asarray(idx.astype(np.int32))
+                return jax.numpy.asarray(idx.astype(np.int32))
+
+            tr = rows_of(self.train_mask)
+            if tr is not None:
+                kw["train_rows"] = tr
                 kw["forward_rows"] = self.forward_rows
+                # validation accuracy on test rows only (same row-local
+                # suffix selection; shrinks the (N, C) logits everywhere)
+                kw.setdefault("test_rows", rows_of(self.test_mask))
         return train(
             self.forward,
             params,
@@ -118,6 +127,7 @@ def lower(
     scale: float = 1.0,
     seed: int = 0,
     dtype=None,
+    use_long: bool = False,
 ) -> CompiledModel:
     """Compile a parsed spec into an executable model.
 
@@ -195,10 +205,12 @@ def lower(
     # the input-aware autoschedule's default) reaches the executor as
     # the chunk granularity of the scan/bell/attention paths
     # (reference: src/ops/tiling.h:222-284 + src/codegen/cuda.h:470-497)
+    if use_long:
+        spec.use_long = True
     full_g = Graph.from_host(
         g_host, strategy=strategy, undirected=spec.graph.undirected,
         edge_vals=edge_vals, attention=attention, keep_edges=keep_edges,
-        col_tile=spec.col_tile or None,
+        col_tile=spec.col_tile or None, long_indices=spec.use_long,
     )
     n_layers = spec.num_layers
     full_graphs = [full_g] * n_layers

@@ -214,6 +214,7 @@ class Graph:
         attention: bool = False,
         keep_edges: bool | str = "auto",
         col_tile: float | None = None,
+        long_indices: bool = False,
     ) -> "Graph":
         """keep_edges: upload the raw (padded) edge lists and transpose
         permutation.  The bell layout never reads them, and at scale the
@@ -233,6 +234,11 @@ class Graph:
         # always at least one padded (zero-val) edge: slot E_pad-1 is the
         # safe sink for ELL padding permutation indices
         e_pad = _round_up(e_real + 1, EDGE_PAD)
+        # EDGE ids/offsets overflow int32 past 2^31 edges (papers100M
+        # full-graph territory); the `inference_long` driver / use_long
+        # schedule flag widens exactly those arrays.  Node ids stay
+        # int32 (valid to 2^31 nodes).
+        eid = np.int64 if (long_indices or e_pad >= 2**31) else np.int32
 
         if strategy == "auto":
             strategy = choose_strategy(n_pad, c_pad, e_real, edge_vals=edge_vals)
@@ -268,18 +274,18 @@ class Graph:
             )
             t_perm = np.concatenate(
                 [order, np.full(e_pad - e_real, e_pad - 1, np.int64)]
-            ).astype(np.int32)
+            ).astype(eid)
 
         deg_np = np.zeros((n_pad, 1), np.float32)
         deg_np[: n, 0] = np.bincount(g.dst, weights=None, minlength=n).astype(np.float32)
 
         # device CSR offsets (padded rows are empty) for in-kernel sampling
-        row_ptr_np = np.full(n_pad + 1, e_real, np.int32)
-        row_ptr_np[: n + 1] = g.row_ptr.astype(np.int32)
+        row_ptr_np = np.full(n_pad + 1, e_real, eid)
+        row_ptr_np[: n + 1] = g.row_ptr.astype(eid)
         t_counts = np.bincount(g.src, minlength=c)
-        t_row_ptr_np = np.full(c_pad + 1, e_real, np.int32)
+        t_row_ptr_np = np.full(c_pad + 1, e_real, eid)
         t_row_ptr_np[0] = 0
-        t_row_ptr_np[1 : c + 1] = np.cumsum(t_counts).astype(np.int32)
+        t_row_ptr_np[1 : c + 1] = np.cumsum(t_counts).astype(eid)
 
         a_dense = None
         if strategy == "dense":
@@ -352,7 +358,7 @@ class Graph:
             )
             real = t_ell.perm != e_pad - 1
             t_perm_vals = t_ell.perm.copy()
-            t_perm_vals[real] = t_order[t_ell.perm[real]].astype(np.int32)
+            t_perm_vals[real] = t_order[t_ell.perm[real]].astype(eid)
             t_ell = dataclasses.replace(t_ell, perm=t_perm_vals)
 
         def put(a):
@@ -373,11 +379,11 @@ class Graph:
             ell_cols=jnp.asarray(ell.cols) if ell else None,
             ell_vals=jnp.asarray(ell.vals) if ell else None,
             ell_vrow=jnp.asarray(ell.vrow) if ell else None,
-            ell_perm=jnp.asarray(ell.perm) if ell else None,
+            ell_perm=jnp.asarray(ell.perm.astype(eid)) if ell else None,
             t_ell_cols=jnp.asarray(t_ell.cols) if t_ell else None,
             t_ell_vals=jnp.asarray(t_ell.vals) if t_ell else None,
             t_ell_vrow=jnp.asarray(t_ell.vrow) if t_ell else None,
-            t_ell_perm=jnp.asarray(t_ell.perm) if t_ell else None,
+            t_ell_perm=jnp.asarray(t_ell.perm.astype(eid)) if t_ell else None,
             bell=bell,
             t_bell=t_bell,
             attn=attn,

@@ -122,6 +122,7 @@ def train(
     resume_from: str | None = None,
     forward_rows: Callable | None = None,
     train_rows: jax.Array | None = None,
+    test_rows: jax.Array | None = None,
 ) -> TrainResult:
     """Run the full training protocol and return timing/accuracy stats.
 
@@ -253,14 +254,29 @@ def train(
 
         return call
 
-    @jax.jit
-    def _acc_any(params, graphs, xc, y, sm, extra):
-        return masked_accuracy(
-            forward(params, graphs, _with_extra(xc, extra)), y, sm
-        )
+    if forward_rows is not None and test_rows is not None:
+        # validation accuracy on the test-row subset only: the
+        # classifier FFN + (N, C) logits shrink to the mask fraction —
+        # the biggest non-graph buffers at papers100M scale (VERDICT
+        # round-1; same row-local suffix selection as the train loss)
+        @jax.jit
+        def _acc_rows(params, graphs, xc, extra):
+            lg = forward_rows(params, graphs, _with_extra(xc, extra), test_rows)
+            return masked_accuracy(
+                lg, labels[test_rows], test_mask[test_rows]
+            )
 
-    def test_acc(params, extra):
-        return _acc_any(params, full_graphs, x_full, labels, test_mask, extra)
+        def test_acc(params, extra):
+            return _acc_rows(params, full_graphs, x_full, extra)
+    else:
+        @jax.jit
+        def _acc_any(params, graphs, xc, y, sm, extra):
+            return masked_accuracy(
+                forward(params, graphs, _with_extra(xc, extra)), y, sm
+            )
+
+        def test_acc(params, extra):
+            return _acc_any(params, full_graphs, x_full, labels, test_mask, extra)
 
     from gala_tpu.utils.timing import EpochTimer
 

@@ -52,3 +52,14 @@ def test_training_converges_with_selection():
     np.testing.assert_allclose(
         np.asarray(r_sel.losses), np.asarray(r_full.losses), rtol=1e-3, atol=1e-4
     )
+
+
+def test_validation_accuracy_row_selected_matches_full():
+    """Validation accuracy computed on the test-row subset (the (N, C)
+    logits shrink to the mask fraction) equals full-graph accuracy."""
+    src = _ev.make_dsl("gcn", "RowSelT3", hidden=12)
+    cm = gala_tpu.compile_source(src, mode="train", scale=0.05)
+    r_sel = cm.train(iters=25)
+    r_full = cm.train(iters=25, select_rows=False)
+    np.testing.assert_allclose(r_sel.max_accuracy, r_full.max_accuracy,
+                               rtol=1e-5, atol=1e-6)

@@ -230,3 +230,42 @@ def test_packed_chunked_gather_matches(monkeypatch):
     monkeypatch.setattr(S, "_BELL_CHUNK_ELEMS", 1 << 14)
     got = np.asarray(S.spmm(g, x))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_long_indices_path(small_dataset):
+    """use_long widens edge ids/offsets (t_perm, CSR row_ptr, ELL perms)
+    to int64 — the inference_long driver's >2^31-edge contract — without
+    changing results.  Runs in a subprocess with JAX_ENABLE_X64=1 (the
+    driver enables x64 the same way; int64 arrays canonicalize to int32
+    otherwise)."""
+    import os
+    import subprocess
+    import sys
+
+    script = r'''
+import jax, numpy as np, jax.numpy as jnp
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_enable_x64", True)
+from gala_tpu.data.synthetic import synthetic_dataset
+from gala_tpu.ops.graph import Graph
+from gala_tpu.ops.spmm import spmm, spmm_ev
+g_host, *_ = synthetic_dataset(n=300, avg_degree=8, n_feats=24, n_classes=5, seed=7)
+g32 = Graph.from_host(g_host, strategy="ell", keep_edges=True)
+g64 = Graph.from_host(g_host, strategy="ell", keep_edges=True, long_indices=True)
+assert g64.t_perm.dtype == jnp.int64, g64.t_perm.dtype
+assert g64.row_ptr.dtype == jnp.int64
+assert g64.ell_perm.dtype == jnp.int64
+x = np.random.default_rng(1).normal(size=(g32.n_nodes, 8)).astype(np.float32)
+xp = g32.pad_nodes(x)
+np.testing.assert_allclose(np.asarray(spmm(g64, xp)), np.asarray(spmm(g32, xp)), rtol=1e-5, atol=1e-6)
+vals = g32.vals
+dv64 = jax.grad(lambda v: jnp.sum(spmm_ev(g64, v, xp) ** 2))(vals)
+dv32 = jax.grad(lambda v: jnp.sum(spmm_ev(g32, v, xp) ** 2))(vals)
+np.testing.assert_allclose(np.asarray(dv64), np.asarray(dv32), rtol=1e-4, atol=1e-5)
+print("LONG-OK")
+'''
+    env = dict(os.environ, JAX_ENABLE_X64="1", JAX_PLATFORMS="cpu",
+               JAX_PLATFORM_NAME="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert "LONG-OK" in r.stdout, r.stdout + r.stderr
