@@ -115,6 +115,42 @@ def main():
     base_epoch = timer.stop(loss, n=iters - warmup)
 
     edges_per_s = n_edges / gala_epoch if gala_epoch > 0 else 0.0
+
+    # ---- roofline accounting (BASELINE.md: "SpMM GB/s per chip
+    # approaching HBM speed-of-light").  Dominant epoch traffic is the
+    # slot gathers of the 4 aggregation sweeps (2 layers forward + 2
+    # transpose backward); XLA:TPU reads a full 128-lane physical row
+    # per gathered slot, so bytes = slots x phys(width) x itemsize.
+    # v5e HBM speed-of-light ~819 GB/s. ------------------------------- #
+    def _phys(f):
+        return ((f + 127) // 128) * 128
+
+    g0 = cm.full_graphs[0]
+    itemsize = jnp.dtype(act_dtype).itemsize
+    f0 = int(cm.x.shape[1])
+    hid = int(spec.output_sizes[0])
+    ncls = int(cm.n_classes)
+    if g0.bell is not None:
+        s_f = int(g0.bell.flat_cols.shape[0])
+        s_b = int(g0.t_bell.flat_cols.shape[0])
+    else:
+        s_f = s_b = int(g0.e_pad)
+    bytes_epoch = itemsize * (
+        s_f * (_phys(f0) + _phys(hid))       # fwd gathers, layer 1 + 2
+        + s_b * (_phys(hid) + _phys(ncls))   # bwd transpose gathers
+    )
+    gbps = bytes_epoch / gala_epoch / 1e9 if gala_epoch > 0 else 0.0
+    HBM_SOL_GBPS = 819.0
+
+    # ---- second model row: GAT (same dataset/protocol) ---------------- #
+    from __graft_entry__ import GAT_DSL
+
+    gat_spec = parse_source(GAT_DSL)
+    cm_gat = lower(gat_spec, mode="train", data=data, dtype=act_dtype)
+    res_gat = cm_gat.train(iters=iters, warmup=warmup)
+    gat_epoch = res_gat.total_time
+    gat_edges_per_s = n_edges / gat_epoch if gat_epoch > 0 else 0.0
+
     print(
         json.dumps(
             {
@@ -122,6 +158,11 @@ def main():
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(base_epoch / gala_epoch, 3) if gala_epoch else 0.0,
+                "gather_gbps": round(gbps, 1),
+                "pct_hbm_sol": round(100.0 * gbps / HBM_SOL_GBPS, 1),
+                "gat_edges_per_s": round(gat_edges_per_s, 1),
+                "gat_vs_gcn_epoch": round(gat_epoch / gala_epoch, 2) if gala_epoch else 0.0,
+                "dtype": args.dtype,
             }
         )
     )

@@ -92,11 +92,26 @@ def device_memory_mb() -> float:
             return mb
     except Exception:
         pass
+    def phys_bytes(a) -> float:
+        """PHYSICAL footprint estimate: XLA:TPU tiles the last dim to
+        128 lanes and the second-to-last to 8 sublanes (f32; doubled
+        granularity for 2-byte dtypes), so a (N, 33) f32 buffer occupies
+        (N_pad8, 128) HBM — summing logical bytes undercounts by up to
+        3.9x (docs/PERF_NOTES.md).  Closest available analog of
+        cudaMemGetInfo's allocated-bytes on platforms without
+        memory_stats."""
+        shape = list(a.shape)
+        item = a.dtype.itemsize
+        if not shape:
+            return item
+        sub = 8 * (4 // max(item, 1)) if item < 4 else 8
+        shape[-1] = -(-shape[-1] // 128) * 128
+        if len(shape) >= 2:
+            shape[-2] = -(-shape[-2] // sub) * sub
+        return float(np.prod(shape)) * item
+
     try:
-        return sum(
-            np.prod(a.shape) * a.dtype.itemsize
-            for a in jax.live_arrays()
-        ) / 1e6
+        return sum(phys_bytes(a) for a in jax.live_arrays()) / 1e6
     except Exception:
         return 0.0
 

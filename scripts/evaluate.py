@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 MODELS = ["gcn", "gat", "gin", "sage"]
-DATASETS = ["Cora", "Pubmed", "Arxiv", "Reddit"]
+# the reference's full Figure-16 matrix (Figures-16-17.py:7-12); use
+# --datasets / --scale to subset when chip time is constrained
+DATASETS = ["Cora", "Pubmed", "CoraFull", "Reddit", "Arxiv", "Products"]
 
 GCN_BODY = """
 aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);

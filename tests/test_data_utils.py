@@ -209,3 +209,103 @@ def test_train_checkpoint_resume(tmp_path):
     # no worse than the fresh run's last losses (allow small noise)
     assert r2.losses[0] <= r1.losses[0]
     assert r2.losses[0] <= r1.losses[-1] * 1.5
+
+
+def _npy_bytes(descr: str, shape, payload: bytes) -> bytes:
+    """Hand-assembled npy v1.0 file — the exact byte layout
+    npy::LoadArrayFromNumpy (reference: tests/common.h:293-366) parses:
+    magic, version, little-endian header length, python-dict header
+    padded with spaces to 64-byte alignment ending in newline, raw
+    little-endian data."""
+    shp = "(" + ", ".join(str(s) for s in shape) + ("," if len(shape) == 1 else "") + ")"
+    header = ("{'descr': '%s', 'fortran_order': False, 'shape': %s, }"
+              % (descr, shp)).encode()
+    pad = 64 - ((10 + len(header) + 1) % 64)
+    header = header + b" " * pad + b"\n"
+    return b"\x93NUMPY\x01\x00" + len(header).to_bytes(2, "little") + header + payload
+
+
+def test_gala_npy_byte_layout_fixture(tmp_path):
+    """Interop: a dataset directory written BYTE-BY-BYTE in the format
+    the reference's exporter produces and readSM_npy32 consumes
+    (reference: tests/common.h:331-366, scripts/Data/gala_export_npy.py)
+    must load through load_gala_npy with identical semantics: Adj_src =
+    uint32 [n_rows, n_cols, dst...], Adj_dst = uint32 [src...], CSR rows
+    are destinations, vals := 1."""
+    import struct
+
+    # 4-node graph, 5 edges (dst, src): (0,1) (1,0) (1,2) (2,3) (3,0)
+    dsts = [0, 1, 1, 2, 3]
+    srcs = [1, 0, 2, 3, 0]
+    n = 4
+    feats = np.arange(n * 3, dtype="<f4").reshape(n, 3)
+    labels = np.asarray([0, 1, 0, 1], dtype="<i8").reshape(n, 1)
+    tn = np.asarray([1, 1, 0, 0], dtype="<i4").reshape(n, 1)
+    vl = np.asarray([0, 0, 1, 0], dtype="<i4").reshape(n, 1)
+    ts = np.asarray([0, 0, 0, 1], dtype="<i4").reshape(n, 1)
+
+    d = tmp_path / "ByteFix"
+    d.mkdir()
+    (d / "Adj_src.npy").write_bytes(_npy_bytes(
+        "<u4", (2 + len(dsts),),
+        struct.pack(f"<{2 + len(dsts)}I", n, n, *dsts)))
+    (d / "Adj_dst.npy").write_bytes(_npy_bytes(
+        "<u4", (len(srcs),), struct.pack(f"<{len(srcs)}I", *srcs)))
+    (d / "Feat.npy").write_bytes(_npy_bytes("<f4", (n, 3), feats.tobytes()))
+    (d / "Lab.npy").write_bytes(_npy_bytes("<i8", (n, 1), labels.tobytes()))
+    (d / "TnMsk.npy").write_bytes(_npy_bytes("<i4", (n, 1), tn.tobytes()))
+    (d / "VlMsk.npy").write_bytes(_npy_bytes("<i4", (n, 1), vl.tobytes()))
+    (d / "TsMsk.npy").write_bytes(_npy_bytes("<i4", (n, 1), ts.tobytes()))
+
+    g, f2, l2, m2 = load_gala_npy(str(d))
+    assert g.n_rows == g.n_cols == n and g.n_edges == 5
+    # dst-sorted CSR over destinations, vals all 1
+    got = sorted(zip(g.dst.tolist(), g.src.tolist()))
+    assert got == sorted(zip(dsts, srcs))
+    assert np.all(g.vals == 1.0)
+    np.testing.assert_array_equal(f2, feats)
+    np.testing.assert_array_equal(l2, [0, 1, 0, 1])
+    assert m2["train"].tolist() == [True, True, False, False]
+    assert m2["test"].tolist() == [False, False, False, True]
+
+    # save_gala_npy emits the same byte-level contract (dtypes/shapes
+    # the reference reader requires)
+    out = tmp_path / "resaved"
+    save_gala_npy(str(out), g, f2, l2, m2)
+    a_src = np.load(out / "Adj_src.npy")
+    assert a_src.dtype == np.uint32 and a_src[0] == n and a_src[1] == n
+    assert np.load(out / "Adj_dst.npy").dtype == np.uint32
+    assert np.load(out / "Lab.npy").dtype == np.int64
+    assert np.load(out / "TnMsk.npy").dtype == np.int32
+
+
+def test_data_root_end_to_end(tmp_path, small_dataset):
+    """--data-root as a first-class path: a GALA-layout directory named
+    like the DSL's dataset resolves through load_dataset and trains."""
+    import gala_tpu
+
+    g, feats, labels, masks = small_dataset
+    save_gala_npy(str(tmp_path / "DiskSet"), g, feats, labels, masks)
+    src = '''
+G = load_dataset("DiskSet");
+aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);
+L1 = layer(G, hs, nonln_fn, aggregate_fn) {
+    deg = G.graphs.degrees();
+    norm = dsl.fn.pow(deg, -0.5);
+    res = norm * G.node.feats;
+    res = aggregate_fn(G.graphs, res);
+    res = dsl.nn.ffn(res, out=hs);
+    res = norm * res;
+    G.node.feats = nonln_fn(res);
+}
+M1 = model(G, non_ln) {
+    l1 = L1(G, 16, non_ln, aggrFn);
+    l2 = L1(l1, G.labels.size(), null, aggrFn);
+}
+m1 = M1(G, dsl.non_ln.ReLU);
+m1.train(iters=30, validation_step=5);
+res = m1.eval();
+'''
+    cm = gala_tpu.compile_source(src, mode="train", data_root=str(tmp_path))
+    res = cm.train(iters=30)
+    assert res.max_accuracy > 0.7, res.max_accuracy
