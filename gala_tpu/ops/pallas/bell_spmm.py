@@ -1,0 +1,162 @@
+"""Fused Pallas bell-SpMM: block-DMA gather + in-VMEM K-slot reduce.
+
+The round-1 per-row-DMA gather (ops/pallas/gather.py) lost to XLA at
+33M rows/s — descriptor-issue bound, one descriptor per gathered row.
+This kernel moves MULTIPLE ROWS PER DESCRIPTOR: the host planner
+(plan_chunks) groups each chunk's unique source rows into 8-row-aligned
+BLOCKS, the kernel DMAs whole blocks from the HBM feature table into a
+VMEM staging buffer (8 rows per descriptor minimum; fewer descriptors
+whenever consecutive blocks coalesce into runs), and the K-slot
+weighted reduction runs entirely in VMEM — no (S, F) slot intermediate
+ever touches HBM.  This is the TPU shape of the reference's coarsened
+CUDA SpMM suite (reference: src/codegen/cuda.h:282-436: one warp
+streams a row of B per neighbor; here one DMA streams 8+ rows and the
+MXU does the reduction).
+
+Two in-VMEM slot-distribution strategies (select with `use_gather`):
+- gather:  seg = staged[locals] via Mosaic dynamic gather, then the
+           proven einsum('vk,vkf->vf') reduce;
+- one-hot: W[v, u] = sum_k vals[v,k] * [locals[v,k] == u] built in K
+           VPU passes, out = W @ staged on the MXU — no dynamic
+           addressing at all (fallback if the gather form fails to
+           lower on a given Mosaic version).
+
+Correctness is validated in interpret mode (tests/test_pallas_bell.py);
+the chip decides which form wins (scripts/bench_pallas_bell.py) before
+it is wired behind choose_strategy.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 8          # table rows per DMA descriptor (8-sublane aligned)
+
+
+def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int):
+    """Host planner for one k-wide segment.
+
+    cols: (nb*k,) int32 source-row ids (slot order).  Returns
+    (blocks (C, U) int32 block ids, locals (C, R, k) int32 staged-row
+    indices, n_rows, C, U): chunk c DMAs blocks[c] (8 rows each, padded
+    by repeating block 0 — harmless duplicate traffic) and resolves
+    slot (v, j) at staged row locals[c, v, j].
+    """
+    nb = cols.shape[0] // k
+    r = rows_per_chunk
+    c_chunks = -(-nb // r)
+    nb_pad = c_chunks * r
+    cols2 = np.zeros((nb_pad, k), np.int64)
+    cols2[:nb] = cols.reshape(nb, k)
+    blocks_l, locals_l = [], []
+    for c in range(c_chunks):
+        ids = cols2[c * r : (c + 1) * r]
+        blk = np.unique(ids // BLK)
+        loc = np.searchsorted(blk, ids // BLK) * BLK + ids % BLK
+        blocks_l.append(blk)
+        locals_l.append(loc)
+    u = max(b.shape[0] for b in blocks_l)
+    blocks = np.zeros((c_chunks, u), np.int32)
+    for c, b in enumerate(blocks_l):
+        blocks[c, : b.shape[0]] = b
+        if b.shape[0] < u:
+            blocks[c, b.shape[0]:] = b[0]
+    locals_ = np.stack(locals_l).astype(np.int32)
+    return blocks, locals_, nb, c_chunks, u
+
+
+def _kernel(blocks_ref, locals_ref, vals_ref, x_hbm, out_ref,
+            staged, sems, *, u, k, f, use_gather):
+    r = locals_ref.shape[1]
+    pid = pl.program_id(0)
+
+    def issue(i, _):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(blocks_ref[pid, i] * BLK, BLK), :],
+            staged.at[pl.ds(i * BLK, BLK), :],
+            sems.at[0],
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, u, issue, 0)
+
+    def wait(i, _):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, BLK), :],
+            staged.at[pl.ds(i * BLK, BLK), :],
+            sems.at[0],
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, u, wait, 0)
+
+    locals_ = locals_ref[0]                      # (R, k)
+    vals = vals_ref[0]                           # (R, k)
+    tab = staged[...]                            # (U*BLK, f)
+    if use_gather:
+        seg = jnp.take(tab, locals_.reshape(-1), axis=0).reshape(r, k, f)
+        out = jnp.einsum(
+            "vk,vkf->vf", vals, seg, preferred_element_type=jnp.float32
+        )
+    else:
+        u8 = u * BLK
+        iota = jax.lax.broadcasted_iota(jnp.int32, (r, u8), 1)
+        w = jnp.zeros((r, u8), jnp.float32)
+        for j in range(k):
+            hit = (locals_[:, j][:, None] == iota).astype(jnp.float32)
+            w = w + vals[:, j][:, None] * hit
+        out = jnp.dot(w, tab.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def bell_spmm_pallas(x, cols: np.ndarray, vals, k: int,
+                     rows_per_chunk: int = 256, use_gather: bool = True,
+                     interpret: bool = False):
+    """out[v] = sum_j vals[v, j] * x[cols[v*k + j]] for one k-wide
+    segment.  `cols` is a HOST array (the plan is built at trace time —
+    the layout is static, exactly like the stage tables); x, vals are
+    device arrays.  Feature dim must be a multiple of 128 (caller pads;
+    see ops/spmm._phys_cols)."""
+    n, f = x.shape
+    assert f % 128 == 0, f
+    blocks, locals_, nb, c_chunks, u = plan_chunks(
+        np.asarray(cols), k, rows_per_chunk
+    )
+    r = rows_per_chunk
+    vals_pad = jnp.zeros((c_chunks * r, k), vals.dtype).at[:nb].set(vals)
+    # table must cover every block DMA (pad with zero rows)
+    n_need = int(blocks.max() + 1) * BLK
+    if n_need > n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_need - n, f), x.dtype)], axis=0
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
+            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((r, f), lambda c, blocks: (c, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((u * BLK, f), x.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    kern = functools.partial(_kernel, u=u, k=k, f=f, use_gather=use_gather)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c_chunks * r, f), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(blocks), jnp.asarray(locals_).reshape(c_chunks, r, k),
+      vals_pad.reshape(c_chunks, r, k), x)
+    return out[:nb]

@@ -1,0 +1,87 @@
+"""Chip microbench: fused Pallas bell-SpMM vs the XLA bell reduce.
+
+Run on the real TPU (axon).  Compares, on small and cliff-sized tables:
+  - XLA one-shot gather+einsum (the current _bell_bin_reduce core)
+  - XLA staged two-level gather (stage tables)
+  - Pallas block-DMA kernel, gather form and one-hot form
+
+VERDICT r1 #1 'done' bar: Pallas >= XLA gather on a <100MB table AND
+>= 3x XLA on a Products-scale (>500MB physical) table.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gala_tpu.ops.pallas.bell_spmm import bell_spmm_pallas
+
+
+def fence(x):
+    np.asarray(jax.device_get(x[:1, :1]))  # axon: host fetch is the only fence
+
+
+def timeit(fn, iters=20, warmup=3):
+    for _ in range(warmup):
+        fence(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    fence(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def xla_reduce(cols_dev, vals, x, nb, k):
+    seg = x[cols_dev].reshape(nb, k, x.shape[1])
+    return jnp.einsum("vk,vkf->vf", vals, seg,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=600_000)     # table rows
+    ap.add_argument("--f", type=int, default=128)
+    ap.add_argument("--nb", type=int, default=1_000_000)  # output rows
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--rows-per-chunk", type=int, default=256)
+    ap.add_argument("--locality", type=float, default=0.0,
+                    help="0 = uniform random cols; >0 = cols clustered "
+                         "in windows of this fraction of the table")
+    args = ap.parse_args()
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    rng = np.random.default_rng(0)
+    n, f, nb, k = args.n, args.f, args.nb, args.k
+    if args.locality > 0:
+        w = max(int(n * args.locality), 1)
+        base = rng.integers(0, max(n - w, 1), nb)[:, None]
+        cols = (base + rng.integers(0, w, (nb, k))).reshape(-1).astype(np.int32)
+    else:
+        cols = rng.integers(0, n, nb * k).astype(np.int32)
+    vals = jnp.asarray(rng.normal(size=(nb, k)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32)).astype(dt)
+    phys_mb = n * ((f + 127) // 128 * 128) * jnp.dtype(dt).itemsize / 1e6
+    print(f"table {phys_mb:.0f} MB physical, {nb*k/1e6:.1f}M slots, k={k}")
+
+    cols_dev = jnp.asarray(cols)
+    t = timeit(jax.jit(lambda: xla_reduce(cols_dev, vals, x, nb, k)))
+    print(f"xla one-shot: {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
+
+    for form, label in ((True, "pallas gather"), (False, "pallas one-hot")):
+        try:
+            fn = jax.jit(lambda form=form: bell_spmm_pallas(
+                x, cols, vals, k=k, rows_per_chunk=args.rows_per_chunk,
+                use_gather=form))
+            t = timeit(fn)
+            print(f"{label}: {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
+        except Exception as e:  # noqa: BLE001 — report which form fails to lower
+            print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -137,14 +137,23 @@ def job_fig18(args):
 
 
 def job_fig19(args):
+    """Memory-vs-time schedule tradeoff (reference: Figure-19.py
+    exec_types ["memory", "time"]), swept over every dataset in
+    --datasets (the reference runs one; more points make the tradeoff
+    curve falsifiable)."""
     out = os.path.join(args.outdir, "stat_fig19.csv")
-    for label, sched in [("time", ""), ("memory", "training_subgraph(false);\ntrain_code_motion(false);\n")]:
-        src = make_dsl("gcn", args.datasets[0], schedule=sched + "print_memory(true);\n")
-        cm, res = run_one(src, iters=args.iters, scale=args.scale)
-        append_csv(
-            out, "dataset,variant,memory_mb,inference_time,total_time",
-            f"{args.datasets[0]},{label},{res.memory_mb},{res.inference_time},{res.total_time}",
-        )
+    variants = [
+        ("time", ""),
+        ("memory", "training_subgraph(false);\ntrain_code_motion(false);\n"),
+    ]
+    for dataset in args.datasets:
+        for label, sched in variants:
+            src = make_dsl("gcn", dataset, schedule=sched + "print_memory(true);\n")
+            cm, res = run_one(src, iters=args.iters, scale=args.scale)
+            append_csv(
+                out, "dataset,variant,memory_mb,inference_time,total_time",
+                f"{dataset},{label},{res.memory_mb},{res.inference_time},{res.total_time}",
+            )
 
 
 def job_fig20(args):

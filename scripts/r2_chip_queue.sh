@@ -1,0 +1,46 @@
+#!/bin/bash
+# Serial chip-job queue for the round-2 results sweep. One TPU chip:
+# jobs must never overlap a timing run.  Fire as soon as the axon
+# tunnel is healthy (probe: timeout 60 python -c "import jax; print(jax.devices())").
+set -x
+cd /root/repo
+mkdir -p results_r2
+
+# 0. headline bench (now reports roofline GB/s + GAT row)
+python bench.py | tee results_r2/bench.json
+
+# 1. table5: DIR axis is now real (col_tile drives executed chunking) —
+#    the r1 verdict's "dir == none to 4 digits" must move
+python scripts/evaluate.py --job table5 --datasets Reddit --scale 0.25 \
+    --iters 30 --outdir results_r2
+python scripts/evaluate.py --job table5 --datasets Products --scale 0.05 \
+    --iters 30 --outdir results_r2
+
+# 2. GAT after round-2 kernels (multi-head shared gather, staged dedup
+#    tables, occupancy masks): fig16 GAT rows at r1 scales for direct
+#    comparison against RESULTS.md (Reddit 0.246s / Products 2.73s)
+python scripts/evaluate.py --job fig16 --datasets Reddit --models gat gcn \
+    --scale 0.25 --iters 30 --outdir results_r2
+python scripts/evaluate.py --job fig16 --datasets Products --models gat gcn \
+    --scale 0.25 --iters 30 --outdir results_r2
+
+# 3. table7 with fused dynamic sampling (r1: dynamic 8.8x over none;
+#    scanned (ra,rb) epochs should bring it to ~1.5x)
+python scripts/evaluate.py --job table7 --datasets Arxiv --iters 30 \
+    --outdir results_r2
+
+# 4. fig18 on Reddit (the reference's Figure-18 dataset; r1 ran Arxiv)
+python scripts/evaluate.py --job fig18 --datasets Reddit --scale 0.25 \
+    --layers 2 3 --hidden 32 128 512 --iters 20 --outdir results_r2
+
+# 5. fig19 memory-vs-time across datasets (physical-footprint metric)
+python scripts/evaluate.py --job fig19 --datasets Arxiv Reddit --scale 0.25 \
+    --iters 20 --outdir results_r2
+
+# 6. fig16 full matrix refresh on the small datasets (cheap)
+python scripts/evaluate.py --job fig16 --datasets Cora Pubmed CoraFull Arxiv \
+    --iters 30 --outdir results_r2
+
+# 7. gather microbenches (staged two-level + cliff curve, regression check)
+python scripts/bench_staged_gather.py | tee results_r2/staged_gather.txt
+echo QUEUE_DONE

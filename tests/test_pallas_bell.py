@@ -1,0 +1,54 @@
+"""Interpret-mode correctness of the fused Pallas bell-SpMM
+(gala_tpu.ops.pallas.bell_spmm).  Perf selection happens on the real
+chip (scripts/bench_pallas_bell.py); these tests pin the semantics.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gala_tpu.ops.pallas.bell_spmm import BLK, bell_spmm_pallas, plan_chunks
+
+
+def _case(n=200, nb=100, k=5, f=128, seed=0):
+    rng = np.random.default_rng(seed)
+    cols = rng.integers(0, n, nb * k).astype(np.int32)
+    vals = rng.normal(size=(nb, k)).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    ref = np.einsum("vk,vkf->vf", vals, x[cols.reshape(nb, k)])
+    return cols, vals, x, ref
+
+
+def test_plan_chunks_covers_all_slots():
+    cols, vals, x, _ = _case()
+    blocks, locals_, nb, c, u = plan_chunks(cols, 5, 32)
+    assert locals_.shape == (c, 32, 5)
+    # every slot's staged row maps back to the original source row
+    for ci in range(c):
+        for v in range(32):
+            gi = ci * 32 + v
+            if gi >= nb:
+                continue
+            for j in range(5):
+                st = locals_[ci, v, j]
+                src = blocks[ci, st // BLK] * BLK + st % BLK
+                assert src == cols[gi * 5 + j]
+
+
+@pytest.mark.parametrize("use_gather", [True, False])
+def test_bell_spmm_pallas_matches_dense(use_gather):
+    cols, vals, x, ref = _case()
+    out = bell_spmm_pallas(
+        jnp.asarray(x), cols, jnp.asarray(vals), k=5, rows_per_chunk=32,
+        use_gather=use_gather, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bell_spmm_pallas_ragged_tail():
+    # nb not a multiple of rows_per_chunk; wide k
+    cols, vals, x, ref = _case(n=333, nb=77, k=9, seed=3)
+    out = bell_spmm_pallas(
+        jnp.asarray(x), cols, jnp.asarray(vals), k=9, rows_per_chunk=32,
+        use_gather=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
