@@ -72,32 +72,49 @@ def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int):
 
 def _kernel(blocks_ref, locals_ref, vals_ref, x_hbm, out_ref,
             staged, sems, *, u, k, f, use_gather):
+    """Grid step c computes chunk c from staging slot c%2 while the
+    DMAs for chunk c+1 land in slot (c+1)%2 — scratch and semaphores
+    persist across grid steps, so the block fetches double-buffer
+    against the reduce exactly like the guide's DMA pipeline pattern."""
     r = locals_ref.shape[1]
     pid = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
 
-    def issue(i, _):
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(blocks_ref[pid, i] * BLK, BLK), :],
-            staged.at[pl.ds(i * BLK, BLK), :],
-            sems.at[0],
-        ).start()
-        return 0
+    def issue_chunk(c, slot):
+        def issue(i, _):
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(blocks_ref[c, i] * BLK, BLK), :],
+                staged.at[slot, pl.ds(i * BLK, BLK), :],
+                sems.at[slot],
+            ).start()
+            return 0
 
-    jax.lax.fori_loop(0, u, issue, 0)
+        jax.lax.fori_loop(0, u, issue, 0)
 
-    def wait(i, _):
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, BLK), :],
-            staged.at[pl.ds(i * BLK, BLK), :],
-            sems.at[0],
-        ).wait()
-        return 0
+    def wait_chunk(slot):
+        def wait(i, _):
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, BLK), :],
+                staged.at[slot, pl.ds(i * BLK, BLK), :],
+                sems.at[slot],
+            ).wait()
+            return 0
 
-    jax.lax.fori_loop(0, u, wait, 0)
+        jax.lax.fori_loop(0, u, wait, 0)
+
+    @pl.when(pid == 0)
+    def _():
+        issue_chunk(0, 0)
+
+    @pl.when(pid + 1 < n_chunks)
+    def _():
+        issue_chunk(pid + 1, (pid + 1) % 2)
+
+    wait_chunk(pid % 2)
 
     locals_ = locals_ref[0]                      # (R, k)
     vals = vals_ref[0]                           # (R, k)
-    tab = staged[...]                            # (U*BLK, f)
+    tab = staged[pid % 2]                        # (U*BLK, f)
     if use_gather:
         seg = jnp.take(tab, locals_.reshape(-1), axis=0).reshape(r, k, f)
         out = jnp.einsum(
@@ -147,8 +164,8 @@ def bell_spmm_pallas(x, cols: np.ndarray, vals, k: int,
         ],
         out_specs=pl.BlockSpec((r, f), lambda c, blocks: (c, 0)),
         scratch_shapes=[
-            pltpu.VMEM((u * BLK, f), x.dtype),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, u * BLK, f), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(_kernel, u=u, k=k, f=f, use_gather=use_gather)
