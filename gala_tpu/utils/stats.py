@@ -88,3 +88,92 @@ class MtxStats:
             empty_rows=int((deg == 0).sum()),
             degree_entropy=degree_entropy(g, frac=1.0),
         )
+
+
+@dataclasses.dataclass
+class DistStats:
+    """Distribution summary of a nonneg count vector (reference:
+    matrix_prop.h DistStats; the *_nz twins restrict to nonzero
+    entries).  gini: mean absolute difference / (2*mean) via the
+    sorted-weights identity; pratio: participation ratio
+    (sum x)^2 / (n * sum x^2) — 1.0 = perfectly even, 1/n = one spike."""
+
+    min: float
+    max: float
+    sum: float
+    mean: float
+    median: float
+    variance: float
+    stddev: float
+    gini: float
+    pratio: float
+    nonzero: int
+    nelems: int
+    nonzero_ratio: float
+    mean_nz: float
+    stddev_nz: float
+
+    @classmethod
+    def of(cls, counts: np.ndarray) -> "DistStats":
+        x = np.asarray(counts, np.float64).reshape(-1)
+        n = x.size
+        if n == 0:
+            return cls(*([0.0] * 9), 0, 0, 0.0, 0.0, 0.0)
+        nz = x[x > 0]
+        s = float(x.sum())
+        xs = np.sort(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        gini = float((2 * i - n - 1) @ xs / (n * s)) if s > 0 else 0.0
+        pratio = float(s * s / (n * (x @ x))) if s > 0 else 0.0
+        return cls(
+            min=float(x.min()),
+            max=float(x.max()),
+            sum=s,
+            mean=float(x.mean()),
+            median=float(np.median(x)),
+            variance=float(x.var()),
+            stddev=float(x.std()),
+            gini=gini,
+            pratio=pratio,
+            nonzero=int(nz.size),
+            nelems=n,
+            nonzero_ratio=float(nz.size / n),
+            mean_nz=float(nz.mean()) if nz.size else 0.0,
+            stddev_nz=float(nz.std()) if nz.size else 0.0,
+        )
+
+
+def tile_stats(g: HostCSR, blk_r: int = 128, blk_c: int = 128):
+    """nnz-per-tile / per-row-block / per-col-block distributions
+    (reference: matrix_prop.h MtxStats t_*/rb_*/cb_* fields) — the
+    tile-locality signal the reference's input-aware scheduling reads.
+
+    Returns dict with DistStats for 'row', 'col', 'tile', 'row_block',
+    'col_block'."""
+    nr_b = -(-g.n_rows // blk_r)
+    nc_b = -(-g.n_cols // blk_c)
+    rb = g.dst // blk_r
+    cb = g.src // blk_c
+    tiles = np.bincount(rb * nc_b + cb, minlength=nr_b * nc_b)
+    return {
+        "row": DistStats.of(np.diff(g.row_ptr)),
+        "col": DistStats.of(np.bincount(g.src, minlength=g.n_cols)),
+        "tile": DistStats.of(tiles),
+        "row_block": DistStats.of(np.bincount(rb, minlength=nr_b)),
+        "col_block": DistStats.of(np.bincount(cb, minlength=nc_b)),
+    }
+
+
+def check_equal(g1: HostCSR, g2: HostCSR, check_vals: bool = True):
+    """Structured graph comparator (reference: tests/common.h:529-575
+    check_equal): staged dims -> offsets -> columns -> values check.
+    Returns (equal: bool, reason: str)."""
+    if g1.n_rows != g2.n_rows or g1.n_cols != g2.n_cols:
+        return False, "dims differ"
+    if not np.array_equal(g1.row_ptr, g2.row_ptr):
+        return False, "offsets differ"
+    if not np.array_equal(g1.src, g2.src):
+        return False, "columns differ"
+    if check_vals and not np.allclose(g1.vals, g2.vals):
+        return False, "values differ"
+    return True, "equal"

@@ -309,3 +309,39 @@ res = m1.eval();
     cm = gala_tpu.compile_source(src, mode="train", data_root=str(tmp_path))
     res = cm.train(iters=30)
     assert res.max_accuracy > 0.7, res.max_accuracy
+
+
+def test_dist_and_tile_stats(small_dataset):
+    from gala_tpu.utils.stats import DistStats, tile_stats
+
+    g, *_ = small_dataset
+    st = tile_stats(g, blk_r=64, blk_c=64)
+    for key in ("row", "col", "tile", "row_block", "col_block"):
+        d = st[key]
+        assert d.nelems > 0
+        assert abs(d.sum - g.n_edges) < 1e-9, key   # every nnz counted once
+        assert 0.0 <= d.gini <= 1.0
+        assert 0.0 < d.pratio <= 1.0
+    # uniform vector: gini 0, pratio 1
+    u = DistStats.of(np.full(16, 3.0))
+    assert abs(u.gini) < 1e-12 and abs(u.pratio - 1.0) < 1e-12
+    # one spike: gini -> (n-1)/n, pratio -> 1/n
+    s = DistStats.of(np.eye(1, 16, 0).ravel() * 5)
+    assert abs(s.pratio - 1 / 16) < 1e-12
+
+
+def test_check_equal(small_dataset):
+    import dataclasses as dc
+
+    from gala_tpu.utils.stats import check_equal
+
+    g, *_ = small_dataset
+    ok, why = check_equal(g, g)
+    assert ok, why
+    g2 = dc.replace(g, vals=g.vals * 2.0)
+    ok, why = check_equal(g, g2)
+    assert not ok and why == "values differ"
+    ok, why = check_equal(g, g2, check_vals=False)
+    assert ok
+    g3 = dc.replace(g, n_cols=g.n_cols + 1)
+    assert check_equal(g, g3)[1] == "dims differ"
