@@ -345,3 +345,39 @@ def test_check_equal(small_dataset):
     assert ok
     g3 = dc.replace(g, n_cols=g.n_cols + 1)
     assert check_equal(g, g3)[1] == "dims differ"
+
+
+def test_train_with_recovery(tmp_path, small_dataset):
+    """Failure-recovery orchestration: a segment that dies mid-training
+    restarts from the last checkpoint; a fresh 'process' (new
+    orchestrator call) skips completed epochs via the progress file."""
+    import gala_tpu
+    from gala_tpu.resilience import load_progress, train_with_recovery
+
+    import importlib.util as _il
+    spec = _il.spec_from_file_location(
+        "evaluate", os.path.join(os.path.dirname(__file__), "..", "scripts", "evaluate.py")
+    )
+    _ev = _il.module_from_spec(spec); spec.loader.exec_module(_ev)
+    cm = gala_tpu.compile_source(_ev.make_dsl("gcn", "RecovT", hidden=12),
+                                 mode="train", scale=0.05)
+    ckpt = str(tmp_path / "ck")
+
+    calls = {"n": 0}
+
+    def flaky_train(**kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected device loss")
+        return cm.train(warmup=1, **kw)
+
+    res = train_with_recovery(flaky_train, iters=24, checkpoint_path=ckpt,
+                              segment=8, max_restarts=2)
+    assert load_progress(ckpt) == 24
+    assert calls["n"] == 4          # 3 segments + 1 injected failure
+    assert res.max_accuracy > 0.7, res.max_accuracy
+    # a fresh orchestrator continues instead of retraining
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="already completed"):
+        train_with_recovery(flaky_train, iters=24, checkpoint_path=ckpt,
+                            segment=8)
