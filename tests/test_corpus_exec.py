@@ -26,6 +26,8 @@ REPRESENTATIVES = [
     "ablations/sampling/kernel/Reddit.txt",
     "ablations/sampling/no-sampling/Reddit.txt",
     "ablations/speedups/cir-vs-dir/Reddit/none.txt",
+    "ablations/speedups/cir-vs-dir/Reddit/cir.txt",
+    "ablations/speedups/cir-vs-dir/Reddit/dir.txt",
     "ablations/speedups/cir-vs-dir/Reddit/all.txt",
     "ablations/speedups/inter-vs-intra/Reddit/uo.txt",
     "ablations/speedups/training/fo.txt",
