@@ -27,6 +27,7 @@ it is wired behind choose_strategy.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -132,26 +133,53 @@ def _kernel(blocks_ref, locals_ref, vals_ref, x_hbm, out_ref,
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def bell_spmm_pallas(x, cols: np.ndarray, vals, k: int,
-                     rows_per_chunk: int = 256, use_gather: bool = True,
-                     interpret: bool = False):
-    """out[v] = sum_j vals[v, j] * x[cols[v*k + j]] for one k-wide
-    segment.  `cols` is a HOST array (the plan is built at trace time —
-    the layout is static, exactly like the stage tables); x, vals are
-    device arrays.  Feature dim must be a multiple of 128 (caller pads;
-    see ops/spmm._phys_cols)."""
-    n, f = x.shape
-    assert f % 128 == 0, f
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BellPlan:
+    """Pre-built device plan for one k-wide segment (host planning
+    happens once at graph build, like the stage tables)."""
+
+    blocks: jax.Array    # (C, U) int32 8-row block ids
+    locals_: jax.Array   # (C, R, k) int32 staged-row indices
+    nb: int              # real output rows
+    c_chunks: int
+    u: int
+    r: int
+    k: int
+    n_need: int          # table rows every block DMA stays inside
+
+    def tree_flatten(self):
+        return ((self.blocks, self.locals_),
+                (self.nb, self.c_chunks, self.u, self.r, self.k, self.n_need))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def make_plan(cols: np.ndarray, k: int, rows_per_chunk: int = 256) -> BellPlan:
     blocks, locals_, nb, c_chunks, u = plan_chunks(
         np.asarray(cols), k, rows_per_chunk
     )
-    r = rows_per_chunk
+    return BellPlan(
+        blocks=jnp.asarray(blocks),
+        locals_=jnp.asarray(locals_),
+        nb=nb, c_chunks=c_chunks, u=u, r=rows_per_chunk, k=k,
+        n_need=int(blocks.max() + 1) * BLK,
+    )
+
+
+def bell_spmm_planned(plan: BellPlan, x, vals, use_gather: bool = True,
+                      interpret: bool = False):
+    """Execute a pre-planned fused bell-SpMM segment (jit-safe: the
+    plan arrays are ordinary device operands)."""
+    n, f = x.shape
+    assert f % 128 == 0, f
+    r, k, u, c_chunks, nb = plan.r, plan.k, plan.u, plan.c_chunks, plan.nb
     vals_pad = jnp.zeros((c_chunks * r, k), vals.dtype).at[:nb].set(vals)
-    # table must cover every block DMA (pad with zero rows)
-    n_need = int(blocks.max() + 1) * BLK
-    if n_need > n:
+    if plan.n_need > n:  # table must cover every block DMA
         x = jnp.concatenate(
-            [x, jnp.zeros((n_need - n, f), x.dtype)], axis=0
+            [x, jnp.zeros((plan.n_need - n, f), x.dtype)], axis=0
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -174,6 +202,15 @@ def bell_spmm_pallas(x, cols: np.ndarray, vals, k: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c_chunks * r, f), x.dtype),
         interpret=interpret,
-    )(jnp.asarray(blocks), jnp.asarray(locals_).reshape(c_chunks, r, k),
-      vals_pad.reshape(c_chunks, r, k), x)
+    )(plan.blocks, plan.locals_, vals_pad.reshape(c_chunks, r, k), x)
     return out[:nb]
+
+
+def bell_spmm_pallas(x, cols: np.ndarray, vals, k: int,
+                     rows_per_chunk: int = 256, use_gather: bool = True,
+                     interpret: bool = False):
+    """Convenience: plan (host, trace time) + execute.  See
+    bell_spmm_planned for the jit-safe pre-planned form."""
+    plan = make_plan(cols, k, rows_per_chunk)
+    return bell_spmm_planned(plan, x, vals, use_gather=use_gather,
+                             interpret=interpret)
