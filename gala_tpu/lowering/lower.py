@@ -83,7 +83,10 @@ class CompiledModel:
                     return None
                 pad = (-idx.size) % 8
                 n_pad = int(mask.shape[0])
-                # pad with the last padding row (mask False there)
+                # pad with the last padding row — Graph.from_host always
+                # reserves >= 1 phantom row (n_pad = round_up(n+1)), so
+                # its mask is False and duplicates stay inert
+                assert not bool(np.asarray(mask)[n_pad - 1]), "no phantom row"
                 idx = np.concatenate([idx, np.full(pad, n_pad - 1, idx.dtype)])
                 return jax.numpy.asarray(idx.astype(np.int32))
 

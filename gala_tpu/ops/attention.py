@@ -50,6 +50,16 @@ _NEG = -1e30
 _ATTN_CHUNK_ELEMS = 1 << 26   # physical elements per chunked gather buffer
 _ATTN_FLAT_ELEMS = 1 << 29    # flat-path ceiling (~2 GB f32 slot buffer)
 
+# _stage_ctx's canonical 'aligned' branch relies on the attention chunk
+# bounds coinciding with the stage tables' S_CHUNK boundaries at 128
+# physical lanes — retune EITHER constant and this must be revisited
+from gala_tpu.data.ell import S_CHUNK as _S_CHUNK  # noqa: E402
+
+assert _ATTN_CHUNK_ELEMS == _S_CHUNK * 128, (
+    "attention chunk bounds must coincide with data.ell.S_CHUNK stage "
+    "boundaries at 128 physical lanes (see _stage_ctx)"
+)
+
 
 def _phys_cols(f: int) -> int:
     """Physical lane count of an f-wide buffer: XLA:TPU pads the minor

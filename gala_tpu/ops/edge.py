@@ -111,7 +111,7 @@ def edge_softmax(g: Graph, logits: jax.Array) -> jax.Array:
     if g.strategy == "spmd":
         from gala_tpu.parallel.ops import spmd_edge_softmax
 
-        return spmd_edge_softmax(g.dst_local, logits, g.vals, g.rows_per_shard)
+        return spmd_edge_softmax(g.dst_local, logits, g.occ, g.rows_per_shard)
     return _edge_softmax(g.n_pad, g.dst, logits)
 
 

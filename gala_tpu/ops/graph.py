@@ -222,7 +222,10 @@ class Graph:
         only for strategies that consume them (edge_vals fallbacks,
         segment paths, dense spmm_ev, in-kernel sampling — pass True
         when dynamic sampling is scheduled)."""
-        symmetric = is_symmetric(g)
+        # is_symmetric costs two full edge argsorts — only pay it when
+        # the answer is consulted (undirected None = auto-detect, or
+        # True = value-check before aliasing the transpose layout)
+        symmetric = is_symmetric(g) if undirected is None or undirected else False
         if undirected is None:
             undirected = symmetric
 
@@ -239,6 +242,14 @@ class Graph:
         # schedule flag widens exactly those arrays.  Node ids stay
         # int32 (valid to 2^31 nodes).
         eid = np.int64 if (long_indices or e_pad >= 2**31) else np.int32
+        if eid is np.int64 and not jax.config.jax_enable_x64:
+            # jnp.asarray would silently canonicalize int64 -> int32
+            # (wraparound offsets, garbage gathers) — refuse instead
+            raise ValueError(
+                "int64 edge indices require x64 mode: call "
+                'jax.config.update("jax_enable_x64", True) before any jax '
+                "op (the inference_long driver does this automatically)"
+            )
 
         if strategy == "auto":
             strategy = choose_strategy(n_pad, c_pad, e_real, edge_vals=edge_vals)
@@ -306,13 +317,13 @@ class Graph:
             # staged-gather dedup tables pay off once the feature table's
             # physical footprint crosses the measured gather cliff
             # (ops.spmm._STAGE_MIN_BYTES); build them whenever a
-            # realistic table could get there (c rows x 128 lanes x 2B)
-            want_stage = c * 128 * 2 > _STAGE_BUILD_BYTES
-
+            # realistic table could get there — gated PER SIDE on that
+            # side's own gather-table rows (fwd gathers from the c-row
+            # source table, the transpose from the n-row dz table)
             from gala_tpu.data.ell import S_CHUNK
 
-            def _stage(hb):
-                if not want_stage:
+            def _stage(hb, table_rows):
+                if table_rows * 128 * 2 <= _STAGE_BUILD_BYTES:
                     return None
                 st = build_stage_tables(hb, chunk_slots or S_CHUNK)
                 # beyond ~0.55 unique fraction staging loses to the
@@ -320,7 +331,7 @@ class Graph:
                 return st if st.uniq_frac < 0.55 else None
 
             hb = build_binned_ell(g, phantom_col=c)
-            bell = BellDev.from_host(hb, n_pad, n, stage_tables=_stage(hb),
+            bell = BellDev.from_host(hb, n_pad, n, stage_tables=_stage(hb, c),
                                      chunk_slots=chunk_slots)
             # alias the backward layout ONLY when A == A^T by VALUE: a
             # caller passing undirected=True on a structurally symmetric
@@ -330,7 +341,7 @@ class Graph:
                 t_bell = bell
             else:
                 hbt = build_binned_ell(host_transpose(g), phantom_col=n)
-                t_bell = BellDev.from_host(hbt, c_pad, c, stage_tables=_stage(hbt),
+                t_bell = BellDev.from_host(hbt, c_pad, c, stage_tables=_stage(hbt, n),
                                            chunk_slots=chunk_slots)
 
         ell = t_ell = None

@@ -43,6 +43,10 @@ class ShardedGraph:
     src: jax.Array        # (S*Es,) int32 global source ids
     dst_local: jax.Array  # (S*Es,) int32 dst - shard_row_offset; Es*[r] = phantom
     vals: jax.Array       # (S*Es,) f32, 0 on padding
+    occ: jax.Array        # (S*Es,) f32 occupancy: 1.0 per REAL edge, 0 on
+                          # padding — the softmax/attention mask (a real
+                          # edge whose WEIGHT is 0.0 must stay in the
+                          # softmax; see ops/attention.build_attention_bell)
     deg: jax.Array        # (S*r, 1) f32 in-degrees
     # halo-exchange layout (comm-optimal path): instead of all_gathering
     # the full feature matrix, each shard sends only the boundary rows
@@ -80,7 +84,7 @@ class ShardedGraph:
 
     def tree_flatten(self):
         return (
-            (self.src, self.dst_local, self.vals, self.deg,
+            (self.src, self.dst_local, self.vals, self.occ, self.deg,
              self.src_halo, self.send_idx),
             (self.n_shards, self.rows_per_shard, self.n_pad, self.n_nodes,
              self.edges_per_shard, self.edges_local, self.halo, self.use_halo,
@@ -167,6 +171,7 @@ class ShardedGraph:
             src=jnp.asarray(src.reshape(-1)),
             dst_local=jnp.asarray(dstl.reshape(-1)),
             vals=jnp.asarray(vals.reshape(-1)),
+            occ=jnp.asarray(reals.reshape(-1).astype(np.float32)),
             deg=jnp.asarray(deg),
             src_halo=jnp.asarray(src_halo.reshape(-1)),
             send_idx=jnp.asarray(send_idx.reshape(n_shards * n_shards, h)),

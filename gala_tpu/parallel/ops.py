@@ -121,7 +121,7 @@ def spmd_attention(g, x_shard, vl_shard, vr_shard, slope):
     for h in range(nh):
         z = rows[:, hf + h].astype(jnp.float32) + vr_pad[g.dst_local, h]
         z = jnp.where(z > 0, z, slope * z)
-        p = spmd_edge_softmax(g.dst_local, z, g.vals, r)
+        p = spmd_edge_softmax(g.dst_local, z, g.occ, r)
         out_h = jax.ops.segment_sum(
             p[:, None].astype(x_shard.dtype) * rows[:, h * fh : (h + 1) * fh],
             g.dst_local, num_segments=r + 1,

@@ -64,7 +64,8 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
     tx = optax.chain(optax.add_decayed_weights(weight_decay), optax.adam(lr))
 
     graph_spec = ShardedGraph(
-        src=P("data"), dst_local=P("data"), vals=P("data"), deg=P("data"),
+        src=P("data"), dst_local=P("data"), vals=P("data"), occ=P("data"),
+        deg=P("data"),
         src_halo=P("data"), send_idx=P("data"),
         n_shards=sg.n_shards, rows_per_shard=r, n_pad=sg.n_pad,
         n_nodes=sg.n_nodes, edges_per_shard=sg.edges_per_shard,

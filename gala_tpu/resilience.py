@@ -30,7 +30,8 @@ from gala_tpu.train import TrainResult
 
 
 def _progress_path(checkpoint_path: str) -> str:
-    return checkpoint_path.rstrip("/").rstrip(".npz") + ".progress.json"
+    base = checkpoint_path.rstrip("/")
+    return base.removesuffix(".npz") + ".progress.json"
 
 
 def load_progress(checkpoint_path: str) -> int:
