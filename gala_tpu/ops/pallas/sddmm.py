@@ -1,0 +1,200 @@
+"""Pallas SDDMM: per-edge dot products with block-DMA staged operands.
+
+dvals[e] = < a[dst[e]], b[src[e]] >  —  the sampled dense-dense matmul
+of the GAT backward (dvals = sum(dz[dst] * x[src], -1), see
+ops/spmm._spmm_ev_seg_bwd) and of the reference's
+`node_spmv_backward_of_sddmm_*` CUDA kernels
+(reference: src/codegen/cuda.h:658-760).
+
+Same staging machinery as ops/pallas/bell_spmm: the host planner groups
+each edge-chunk's unique a-rows and b-rows into 8-row blocks, the
+kernel DMAs whole blocks into VMEM (multiple rows per descriptor,
+double-buffered across grid steps), gathers both operands from the
+staged tables, and reduces the feature dot on the VPU.  No (E, F)
+intermediate touches HBM.
+
+Correctness: interpret mode (tests/test_pallas_bell.py); selection
+against the XLA two-gather form happens on-chip
+(scripts/bench_pallas_bell.py --sddmm).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gala_tpu.ops.pallas.bell_spmm import BLK
+
+
+def _plan_side(ids2: np.ndarray):
+    """ids2: (C, E_c) row ids per chunk -> (blocks (C, U), locals (C, E_c))."""
+    c_chunks, ec = ids2.shape
+    blocks_l, locals_l = [], []
+    for c in range(c_chunks):
+        blk = np.unique(ids2[c] // BLK)
+        loc = np.searchsorted(blk, ids2[c] // BLK) * BLK + ids2[c] % BLK
+        blocks_l.append(blk)
+        locals_l.append(loc)
+    u = max(b.shape[0] for b in blocks_l)
+    blocks = np.zeros((c_chunks, u), np.int32)
+    for c, b in enumerate(blocks_l):
+        blocks[c, : b.shape[0]] = b
+        if b.shape[0] < u:
+            blocks[c, b.shape[0]:] = b[0]
+    return blocks, np.stack(locals_l).astype(np.int32), u
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SddmmPlan:
+    a_blocks: jax.Array   # (C, Ua)
+    a_locals: jax.Array   # (C, Ec)
+    b_blocks: jax.Array   # (C, Ub)
+    b_locals: jax.Array   # (C, Ec)
+    e_real: int
+    c_chunks: int
+    ec: int
+    ua: int
+    ub: int
+    a_need: int
+    b_need: int
+
+    def tree_flatten(self):
+        return ((self.a_blocks, self.a_locals, self.b_blocks, self.b_locals),
+                (self.e_real, self.c_chunks, self.ec, self.ua, self.ub,
+                 self.a_need, self.b_need))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def make_sddmm_plan(dst: np.ndarray, src: np.ndarray,
+                    edges_per_chunk: int = 4096) -> SddmmPlan:
+    e = dst.shape[0]
+    ec = edges_per_chunk
+    c_chunks = -(-e // ec)
+    e_pad = c_chunks * ec
+    d2 = np.zeros(e_pad, np.int64)
+    s2 = np.zeros(e_pad, np.int64)
+    d2[:e] = dst
+    s2[:e] = src
+    a_blocks, a_locals, ua = _plan_side(d2.reshape(c_chunks, ec))
+    b_blocks, b_locals, ub = _plan_side(s2.reshape(c_chunks, ec))
+    return SddmmPlan(
+        a_blocks=jnp.asarray(a_blocks), a_locals=jnp.asarray(a_locals),
+        b_blocks=jnp.asarray(b_blocks), b_locals=jnp.asarray(b_locals),
+        e_real=e, c_chunks=c_chunks, ec=ec, ua=ua, ub=ub,
+        a_need=int(a_blocks.max() + 1) * BLK,
+        b_need=int(b_blocks.max() + 1) * BLK,
+    )
+
+
+def _kernel(scalars_ref, a_loc_ref, b_loc_ref, a_hbm, b_hbm, out_ref,
+            a_stage, b_stage, sems, *, ua, ub, f):
+    """scalars_ref packs [a_blocks | b_blocks] (C, Ua+Ub).  Staging
+    double-buffers across grid steps like bell_spmm."""
+    pid = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+    ec = a_loc_ref.shape[1]
+
+    def issue_chunk(c, slot):
+        def ia(i, _):
+            pltpu.make_async_copy(
+                a_hbm.at[pl.ds(scalars_ref[c, i] * BLK, BLK), :],
+                a_stage.at[slot, pl.ds(i * BLK, BLK), :],
+                sems.at[slot],
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, ua, ia, 0)
+
+        def ib(i, _):
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(scalars_ref[c, ua + i] * BLK, BLK), :],
+                b_stage.at[slot, pl.ds(i * BLK, BLK), :],
+                sems.at[slot],
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, ub, ib, 0)
+
+    def wait_chunk(slot):
+        def w(i, _):
+            pltpu.make_async_copy(
+                a_hbm.at[pl.ds(0, BLK), :],
+                a_stage.at[slot, pl.ds(0, BLK), :],
+                sems.at[slot],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, ua + ub, w, 0)
+
+    @pl.when(pid == 0)
+    def _():
+        issue_chunk(0, 0)
+
+    @pl.when(pid + 1 < n_chunks)
+    def _():
+        issue_chunk(pid + 1, (pid + 1) % 2)
+
+    wait_chunk(pid % 2)
+
+    a_rows = jnp.take(a_stage[pid % 2], a_loc_ref[0], axis=0)   # (Ec, f)
+    b_rows = jnp.take(b_stage[pid % 2], b_loc_ref[0], axis=0)
+    dots = jnp.sum(a_rows.astype(jnp.float32) * b_rows.astype(jnp.float32),
+                   axis=1)
+    out_ref[...] = dots[None, :].astype(out_ref.dtype)
+
+
+def sddmm_planned(plan: SddmmPlan, a, b, interpret: bool = False):
+    """dvals (E,) = rowwise dots of a[dst] and b[src] per the plan."""
+    f = a.shape[1]
+    assert f % 128 == 0 and b.shape[1] == f
+
+    def pad_to(x, rows):
+        if rows > x.shape[0]:
+            return jnp.concatenate(
+                [x, jnp.zeros((rows - x.shape[0], f), x.dtype)], axis=0
+            )
+        return x
+
+    a = pad_to(a, plan.a_need)
+    b = pad_to(b, plan.b_need)
+    scalars = jnp.concatenate([plan.a_blocks, plan.b_blocks], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan.c_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
+            pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, plan.ua * BLK, f), a.dtype),
+            pltpu.VMEM((2, plan.ub * BLK, f), b.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = functools.partial(_kernel, ua=plan.ua, ub=plan.ub, f=f)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.c_chunks, plan.ec), jnp.float32),
+        interpret=interpret,
+    )(scalars, plan.a_locals, plan.b_locals, a, b)
+    return out.reshape(-1)[: plan.e_real]
+
+
+def sddmm_pallas(a, b, dst: np.ndarray, src: np.ndarray,
+                 edges_per_chunk: int = 4096, interpret: bool = False):
+    plan = make_sddmm_plan(np.asarray(dst), np.asarray(src), edges_per_chunk)
+    return sddmm_planned(plan, a, b, interpret=interpret)

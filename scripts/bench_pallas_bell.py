@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--rows-per-chunk", type=int, default=256)
+    ap.add_argument("--sddmm", action="store_true",
+                    help="also bench the Pallas SDDMM vs XLA two-gather")
     ap.add_argument("--locality", type=float, default=0.0,
                     help="0 = uniform random cols; >0 = cols clustered "
                          "in windows of this fraction of the table")
@@ -81,6 +83,23 @@ def main():
             print(f"{label}: {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
         except Exception as e:  # noqa: BLE001 — report which form fails to lower
             print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}")
+
+    if args.sddmm:
+        from gala_tpu.ops.pallas.sddmm import sddmm_pallas
+
+        e = nb * k
+        dst = rng.integers(0, n, e).astype(np.int32)
+        srcv = cols
+        a = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32)).astype(dt)
+        dst_dev, src_dev = jnp.asarray(dst), jnp.asarray(srcv)
+        t = timeit(jax.jit(
+            lambda: jnp.sum(a[dst_dev] * x[src_dev], axis=1)))
+        print(f"xla sddmm:    {t*1e3:8.2f} ms  {e/t/1e6:8.1f}M edges/s")
+        try:
+            t = timeit(jax.jit(lambda: sddmm_pallas(a, x, dst, srcv)))
+            print(f"pallas sddmm: {t*1e3:8.2f} ms  {e/t/1e6:8.1f}M edges/s")
+        except Exception as ex:  # noqa: BLE001
+            print(f"pallas sddmm: FAILED — {type(ex).__name__}: {str(ex)[:200]}")
 
 
 if __name__ == "__main__":

@@ -52,3 +52,18 @@ def test_bell_spmm_pallas_ragged_tail():
         use_gather=True, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm_pallas_matches_dense():
+    from gala_tpu.ops.pallas.sddmm import sddmm_pallas
+
+    rng = np.random.default_rng(4)
+    n, e, f = 150, 1000, 128
+    dst = rng.integers(0, n, e).astype(np.int32)
+    src = rng.integers(0, n, e).astype(np.int32)
+    a = rng.normal(size=(n, f)).astype(np.float32)
+    b = rng.normal(size=(n, f)).astype(np.float32)
+    ref = np.sum(a[dst] * b[src], axis=1)
+    out = sddmm_pallas(jnp.asarray(a), jnp.asarray(b), dst, src,
+                       edges_per_chunk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
