@@ -156,6 +156,9 @@ def sddmm_planned(plan: SddmmPlan, a, b, interpret: bool = False):
     """dvals (E,) = rowwise dots of a[dst] and b[src] per the plan."""
     f = a.shape[1]
     assert f % 128 == 0 and b.shape[1] == f
+    # the wait loop counts semaphore bytes with one descriptor shape for
+    # both operands — equal dtypes keep every BLK-row copy the same size
+    assert a.dtype == b.dtype, (a.dtype, b.dtype)
 
     def pad_to(x, rows):
         if rows > x.shape[0]:
