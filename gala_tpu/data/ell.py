@@ -221,21 +221,38 @@ def build_stage_tables(
     hb: "HostBinnedEll", chunk_slots: int = 0
 ) -> HostStageTables:
     """Dedup every canonical chunk of every segment (one-time host cost,
-    O(S log S_CHUNK) via per-chunk sorts)."""
-    uniqs, locals_, meta = [], [], []
-    total_u = total_s = 0
+    O(S log S_CHUNK) via per-chunk sorts; the chunks are independent, so
+    the native OpenMP path parallelizes them — the serial np.unique
+    fallback dominates setup minutes at papers100M scale)."""
+    bounds, meta = [], []
     for si, (k, n_rows, off) in enumerate(_segments(hb)):
         for lo, hi in stage_chunks(k, n_rows, chunk_slots):
-            cols = hb.flat_cols[off + lo * k : off + hi * k]
-            u, inv = np.unique(cols, return_inverse=True)
-            pad = (-u.shape[0]) % 8
-            if pad:
-                u = np.concatenate([u, np.full(pad, u[-1], u.dtype)])
-            uniqs.append(np.ascontiguousarray(u, np.int32))
-            locals_.append(np.ascontiguousarray(inv, np.int32))
+            bounds.append((off + lo * k, off + hi * k))
             meta.append((si, lo, hi))
-            total_u += u.shape[0]
-            total_s += cols.shape[0]
+
+    uniqs, locals_ = [], []
+    total_u = total_s = 0
+
+    from gala_tpu import native
+
+    nat = (
+        native.stage_dedup_native(hb.flat_cols, bounds)
+        if hb.flat_cols.shape[0] > 2_000_000 else None
+    )
+    for ci, (b0, b1) in enumerate(bounds):
+        if nat is not None:
+            uniq_buf, counts, local_buf = nat
+            u = uniq_buf[b0 : b0 + int(counts[ci])].copy()
+            inv = local_buf[b0:b1]
+        else:
+            u, inv = np.unique(hb.flat_cols[b0:b1], return_inverse=True)
+        pad = (-u.shape[0]) % 8
+        if pad:
+            u = np.concatenate([u, np.full(pad, u[-1], u.dtype)])
+        uniqs.append(np.ascontiguousarray(u, np.int32))
+        locals_.append(np.ascontiguousarray(inv, np.int32))
+        total_u += u.shape[0]
+        total_s += b1 - b0
     return HostStageTables(
         uniq=uniqs, local=locals_, chunk_rows=meta,
         uniq_frac=total_u / max(total_s, 1),

@@ -73,6 +73,13 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.stage_dedup_i32.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.omp_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -159,3 +166,27 @@ def grow_mask_native(src, dst, mask) -> np.ndarray | None:
         _ptr(mask_in, ctypes.c_uint8), _ptr(mask_out, ctypes.c_uint8),
     )
     return mask_out.astype(bool)
+
+
+def stage_dedup_native(cols, bounds):
+    """Parallel per-chunk dedup (OpenMP): cols (S,) int32, bounds list of
+    (start, end) slot ranges.  Returns (uniq_buf, counts, local) with
+    uniq_buf sharing cols' layout (chunk c's uniques at
+    uniq_buf[start:start+counts[c]]) — or None without native."""
+    lib = _load()
+    if lib is None:
+        return None
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    starts = np.ascontiguousarray([b[0] for b in bounds], dtype=np.int64)
+    ends = np.ascontiguousarray([b[1] for b in bounds], dtype=np.int64)
+    uniq = np.empty_like(cols)
+    counts = np.empty(len(bounds), np.int64)
+    local = np.empty_like(cols)
+    lib.stage_dedup_i32(
+        len(bounds),
+        _ptr(starts, ctypes.c_int64), _ptr(ends, ctypes.c_int64),
+        _ptr(cols, ctypes.c_int32),
+        _ptr(uniq, ctypes.c_int32), _ptr(counts, ctypes.c_int64),
+        _ptr(local, ctypes.c_int32),
+    )
+    return uniq, counts, local

@@ -11,9 +11,10 @@
 // The NumPy implementations remain the portable fallback; these kick in for
 // 100M+ edge graphs where single-threaded numpy sorts dominate setup time.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
-#include <atomic>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -113,6 +114,37 @@ void grow_mask_i8(
 #pragma omp parallel for
     for (int64_t e = 0; e < n_edges; ++e) {
         if (mask_in[dst[e]]) mask_out[src[e]] = 1;
+    }
+}
+
+// Per-chunk dedup for the staged two-level gather tables
+// (gala_tpu/data/ell.py build_stage_tables): every chunk's slot ids are
+// sorted+uniqued independently, so the chunks parallelize perfectly —
+// the NumPy path runs one serial np.unique per chunk, minutes at
+// papers100M scale.  uniq_out shares cols' layout (capacity = chunk
+// length); uniq_counts[c] gives the used prefix.  local_out[i] is the
+// index of cols[i] inside its chunk's uniq prefix.
+void stage_dedup_i32(
+    int64_t n_chunks, const int64_t* starts, const int64_t* ends,
+    const int32_t* cols,
+    int32_t* uniq_out, int64_t* uniq_counts, int32_t* local_out)
+{
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t c = 0; c < n_chunks; ++c) {
+        const int64_t lo = starts[c], hi = ends[c];
+        const int64_t len = hi - lo;
+        int32_t* u = uniq_out + lo;
+        std::memcpy(u, cols + lo, sizeof(int32_t) * len);
+        std::sort(u, u + len);
+        int64_t m = 0;
+        for (int64_t i = 0; i < len; ++i) {
+            if (i == 0 || u[i] != u[m - 1]) u[m++] = u[i];
+        }
+        uniq_counts[c] = m;
+        for (int64_t i = lo; i < hi; ++i) {
+            const int32_t* pos = std::lower_bound(u, u + m, cols[i]);
+            local_out[i] = (int32_t)(pos - u);
+        }
     }
 }
 

@@ -381,3 +381,20 @@ def test_train_with_recovery(tmp_path, small_dataset):
     with _pt.raises(RuntimeError, match="already completed"):
         train_with_recovery(flaky_train, iters=24, checkpoint_path=ckpt,
                             segment=8)
+
+
+def test_stage_dedup_native_matches_numpy():
+    from gala_tpu import native
+
+    if not native.available():
+        import pytest as _pt
+        _pt.skip("native toolchain unavailable")
+    rng = np.random.default_rng(9)
+    cols = rng.integers(0, 500, 10_000).astype(np.int32)
+    bounds = [(0, 3000), (3000, 7100), (7100, 10_000)]
+    uniq_buf, counts, local = native.stage_dedup_native(cols, bounds)
+    for ci, (b0, b1) in enumerate(bounds):
+        u_ref, inv_ref = np.unique(cols[b0:b1], return_inverse=True)
+        u = uniq_buf[b0 : b0 + int(counts[ci])]
+        np.testing.assert_array_equal(u, u_ref)
+        np.testing.assert_array_equal(local[b0:b1], inv_ref)
