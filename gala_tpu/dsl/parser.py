@@ -239,6 +239,10 @@ def parse_source(source: str) -> ModelSpec:
         if m:
             spec.graph.sparser = m.group(1) == "true"
             continue
+        m = re.match(r"^attention_heads\((\d+)\)$", s)
+        if m:
+            spec.attention_heads = int(m.group(1))
+            continue
         m = re.match(r"^feature_size\((-?\d+)\)$", s)
         if m:
             spec.graph.feat_size = int(m.group(1))

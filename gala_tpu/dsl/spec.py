@@ -85,6 +85,11 @@ class ModelSpec:
     print_accuracy: bool = False
     print_memory: bool = False
     use_long: bool = False         # int64 indices (papers100M-scale)
+    # GAT attention heads (TPU extension; the reference DSL is
+    # single-head).  Heads ride as extra feature columns of the ONE
+    # fused slot gather (gala_tpu.ops.attention) — requires the
+    # attention_fusion pass and head-divisible layer widths.
+    attention_heads: int = 1
 
     def layer_dims(self) -> list[tuple[int, int]]:
         """Per-layer (d_in, d_out), resolving the last layer to label_size

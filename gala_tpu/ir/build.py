@@ -212,15 +212,24 @@ def generate_ir(spec: ModelSpec) -> Program:
 
             elif op is LayerOp.ATTEN_L:
                 # builds both attention heads + the SDDVV logits
-                # (reference: addLayer case ATTEN_L builds L, R, then addAttn)
+                # (reference: addLayer case ATTEN_L builds L, R, then addAttn).
+                # attention_heads(H) widens the per-node score vectors to
+                # (N, H): head h attends feature slice [h*fh, (h+1)*fh)
+                # through the ONE fused slot gather (gala_tpu.ops.attention;
+                # TPU extension — the reference DSL is single-head).  The
+                # FINAL layer stays single-head (standard GAT: heads are
+                # concatenated in hidden layers, not over class logits).
+                nh = max(int(spec.attention_heads), 1)
+                if li == spec.num_layers - 1:
+                    nh = 1
                 wl = DataNode(name=f"attenLWeight{li+1}", fmt=DataFormat.CM,
-                              rows=prev.cols, cols=1)
-                al = _dense(f"attenL_{li+1}" if li else "attenL", SYM_NODES, 1)
+                              rows=prev.cols, cols=nh)
+                al = _dense(f"attenL_{li+1}" if li else "attenL", SYM_NODES, nh)
                 _node(prog, loop, OpType.UPDATE_NODE, ComputeOp.FFN_EDGE,
                       [prev, wl], al, layer=li)
                 wr = DataNode(name=f"attenRWeight{li+1}", fmt=DataFormat.CM,
-                              rows=prev.cols, cols=1)
-                ar = _dense(f"attenR_{li+1}" if li else "attenR", SYM_NODES, 1)
+                              rows=prev.cols, cols=nh)
+                ar = _dense(f"attenR_{li+1}" if li else "attenR", SYM_NODES, nh)
                 _node(prog, loop, OpType.UPDATE_NODE, ComputeOp.FFN_EDGE,
                       [res, wr], ar, layer=li)
                 atten_l, atten_r = al, ar

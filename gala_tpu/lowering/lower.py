@@ -180,6 +180,23 @@ def lower(
     attention = any(
         n.op is ComputeOp.FUSED_ATTENTION for n in prog.all_nodes()
     )
+    nh = max(int(getattr(spec, "attention_heads", 1)), 1)
+    if nh > 1:
+        # multi-head rides the fused op's shared slot gather; the
+        # unfused SDDVV/softmax chain is (N, 1)-shaped
+        if not attention:
+            raise ValueError(
+                "attention_heads > 1 requires the fused attention path "
+                "(enable the attention_fusion pass / use a standard GAT "
+                "layer body)"
+            )
+        # final layer stays single-head (see ir/build ATTEN_L)
+        bad = [d for d in spec.output_sizes[:-1] if d % nh]
+        if bad:
+            raise ValueError(
+                f"attention_heads={nh} must divide every hidden GAT layer "
+                f"width; offending sizes: {bad}"
+            )
     if strategy == "auto":
         from gala_tpu.ops.graph import choose_strategy
 

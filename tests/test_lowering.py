@@ -87,3 +87,30 @@ def test_subgraph_training_matches_full_on_train_loss(small_dataset):
             float(masked_cross_entropy(logits, cm.labels, cm.train_mask))
         )
     assert abs(specs[0] - specs[1]) < 1e-4
+
+
+def test_multihead_gat_dsl(small_dataset):
+    """attention_heads(H) schedule directive: hidden GAT layers attend
+    per-head feature slices through the one fused slot gather; the final
+    layer stays single-head."""
+    from gala_tpu.ir.compute_ir import ComputeOp
+
+    spec = _spec("gat")
+    spec.output_sizes = [32, 5]
+    spec.attention_heads = 4
+    cm = lower(spec, mode="train", data=small_dataset)
+    fused = [n for n in cm.program.all_nodes()
+             if n.op is ComputeOp.FUSED_ATTENTION]
+    assert len(fused) == 2
+    widths = sorted(n.inputs[1].cols for n in fused)
+    assert widths == [1, 4]          # layer-2 single head, layer-1 four
+    res = cm.train(iters=40, warmup=2)
+    assert res.max_accuracy > 0.7, res.max_accuracy
+
+
+def test_multihead_gat_dsl_guards(small_dataset):
+    spec = _spec("gat")
+    spec.output_sizes = [30, 5]      # 30 % 4 != 0
+    spec.attention_heads = 4
+    with pytest.raises(ValueError, match="divide"):
+        lower(spec, mode="train", data=small_dataset)
