@@ -114,6 +114,59 @@ def main():
         params, opt_state, loss = base_step(params, opt_state)
     base_epoch = timer.stop(loss, n=iters - warmup)
 
+    # ---- second (stock-library) baseline: jax.experimental.sparse ------ #
+    # The same GCN written the way a plain-JAX user would: adjacency as a
+    # BCOO matrix, aggregation as `A @ X`.  Unlike the hand-written naive
+    # baseline above, this code is not ours — it is what the ecosystem
+    # ships — so vs_bcoo is a non-self-authored comparison point
+    # (reference analog: the DGL/SeaStar/SparseTIR external baselines,
+    # tests/Baselines/**).
+    from jax.experimental import sparse as jsparse
+
+    a_bcoo = jsparse.BCOO(
+        (vals.astype(act_dtype), jnp.stack([dst, src], axis=1)), shape=(n, n)
+    )
+
+    def _bcoo_forward(p, h):
+        deg = jax.ops.segment_sum(jnp.ones_like(vals), dst, num_segments=n)
+        norm = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
+        norm = norm[:, None].astype(h.dtype)
+        for li, layer in enumerate(p["fc"]):
+            h = norm * h
+            h = a_bcoo @ h
+            h = h @ layer["w"] + layer["b"]
+            h = norm * h
+            if li == 0:
+                h = jax.nn.relu(h)
+        return h
+
+    params_b = jax.tree.map(lambda a: a, params)  # fresh copy, same init
+    opt_state_b = tx.init(params_b)
+
+    @jax.jit
+    def bcoo_step(params, opt_state):
+        def loss_fn(p):
+            logits = _bcoo_forward(p, x)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, y[:, None], 1)[:, 0]
+            m = tm.astype(jnp.float32)
+            return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    try:
+        timer_b = EpochTimer()
+        loss_b = None
+        for i in range(iters):
+            if i == warmup:
+                timer_b.start(fence_on=loss_b)
+            params_b, opt_state_b, loss_b = bcoo_step(params_b, opt_state_b)
+        bcoo_epoch = timer_b.stop(loss_b, n=iters - warmup)
+    except Exception:
+        bcoo_epoch = 0.0  # BCOO unsupported on this backend: omit the row
+
     edges_per_s = n_edges / gala_epoch if gala_epoch > 0 else 0.0
 
     # ---- roofline accounting (BASELINE.md: "SpMM GB/s per chip
@@ -158,6 +211,9 @@ def main():
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(base_epoch / gala_epoch, 3) if gala_epoch else 0.0,
+                "vs_bcoo": round(bcoo_epoch / gala_epoch, 3)
+                if gala_epoch and bcoo_epoch
+                else 0.0,
                 "gather_gbps": round(gbps, 1),
                 "pct_hbm_sol": round(100.0 * gbps / HBM_SOL_GBPS, 1),
                 "gat_edges_per_s": round(gat_edges_per_s, 1),

@@ -188,7 +188,7 @@ def bell_spmm_planned(plan: BellPlan, x, vals, use_gather: bool = True,
         in_specs=[
             pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
             pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((r, f), lambda c, blocks: (c, 0)),
         scratch_shapes=[

@@ -85,7 +85,7 @@ def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
         grid=grid,
         in_specs=[
             pl.BlockSpec((BM,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BM, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, f), x.dtype),

@@ -177,8 +177,8 @@ def sddmm_planned(plan: SddmmPlan, a, b, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
             pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
         scratch_shapes=[
