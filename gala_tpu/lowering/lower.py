@@ -204,7 +204,7 @@ def lower(
             g_host.n_rows + NODE_PAD, g_host.n_cols + NODE_PAD,
             g_host.n_edges, edge_vals=edge_vals,
         )
-    if strategy == "bell":
+    if strategy in ("bell", "pallas_bell"):
         # relabel nodes in degree-class order so the binned layout's
         # output order is the identity (zero-cost at run time) — the
         # reference's degree reordering applied at load
@@ -241,7 +241,8 @@ def lower(
         subs = mask_subgraphs(g_host, masks["train"], n_layers)
         train_graphs = [
             Graph.from_host(
-                s, strategy=full_g.strategy, undirected=False,
+                s, strategy=strategy, undirected=False,
+                edge_vals=edge_vals,
                 attention=attention, keep_edges=keep_edges,
                 col_tile=spec.col_tile or None,
             )

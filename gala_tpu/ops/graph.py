@@ -60,6 +60,10 @@ class BellDev:
     # per canonical chunk a (uniq_ids, local_idx) pair; None when the
     # graph is small enough that the direct gather is already fast
     stage: tuple | None
+    # fused Pallas bell-SpMM plans (ops.pallas.bell_spmm.BellPlan), one
+    # per segment in _bell_raw order, None entries = XLA path for that
+    # segment; None overall = pallas disabled for this graph
+    pallas_plans: tuple | None
     bin_ks: tuple                        # static
     bin_counts: tuple                    # static
     n_big: int                           # static
@@ -72,6 +76,7 @@ class BellDev:
         children = (
             self.flat_cols, self.bin_vals, self.big_vals,
             self.big_vrow, self.diag, self.out_index, self.stage,
+            self.pallas_plans,
         )
         aux = (self.bin_ks, self.bin_counts, self.n_big, self.n_real,
                self.uniq_frac, self.chunk_slots)
@@ -83,7 +88,8 @@ class BellDev:
 
     @classmethod
     def from_host(cls, hb, n_pad: int, n_real: int,
-                  stage_tables=None, chunk_slots: int = 0) -> "BellDev":
+                  stage_tables=None, chunk_slots: int = 0,
+                  pallas_plans=None) -> "BellDev":
         diag = None
         if hb.diag is not None:
             d = np.zeros((n_pad, 1), np.float32)
@@ -112,6 +118,7 @@ class BellDev:
             diag=diag,
             out_index=out_index,
             stage=stage,
+            pallas_plans=pallas_plans,
             bin_ks=hb.bin_ks,
             bin_counts=hb.bin_counts,
             n_big=hb.n_big,
@@ -253,6 +260,12 @@ class Graph:
 
         if strategy == "auto":
             strategy = choose_strategy(n_pad, c_pad, e_real, edge_vals=edge_vals)
+        # 'pallas_bell' = the bell layout executed by the fused Pallas
+        # block-DMA kernel (ops.pallas.bell_spmm) instead of XLA gathers;
+        # opt-in until chip microbenches pick the auto default
+        use_pallas = strategy == "pallas_bell"
+        if use_pallas:
+            strategy = "bell"
         if keep_edges == "auto":
             keep_edges = edge_vals or strategy != "bell"
 
@@ -330,9 +343,17 @@ class Graph:
                 # direct gather; skip the device upload entirely
                 return st if st.uniq_frac < 0.55 else None
 
+            def _plans(hb_side):
+                if not use_pallas:
+                    return None
+                from gala_tpu.ops.pallas.bell_spmm import build_segment_plans
+
+                return build_segment_plans(hb_side)
+
             hb = build_binned_ell(g, phantom_col=c)
             bell = BellDev.from_host(hb, n_pad, n, stage_tables=_stage(hb, c),
-                                     chunk_slots=chunk_slots)
+                                     chunk_slots=chunk_slots,
+                                     pallas_plans=_plans(hb))
             # alias the backward layout ONLY when A == A^T by VALUE: a
             # caller passing undirected=True on a structurally symmetric
             # graph with asymmetric weights must still get the true
@@ -342,7 +363,8 @@ class Graph:
             else:
                 hbt = build_binned_ell(host_transpose(g), phantom_col=n)
                 t_bell = BellDev.from_host(hbt, c_pad, c, stage_tables=_stage(hbt, n),
-                                           chunk_slots=chunk_slots)
+                                           chunk_slots=chunk_slots,
+                                           pallas_plans=_plans(hbt))
 
         ell = t_ell = None
         if strategy == "ell":

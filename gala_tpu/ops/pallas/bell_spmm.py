@@ -157,16 +157,58 @@ class BellPlan:
         return cls(*children, *aux)
 
 
-def make_plan(cols: np.ndarray, k: int, rows_per_chunk: int = 256) -> BellPlan:
-    blocks, locals_, nb, c_chunks, u = plan_chunks(
-        np.asarray(cols), k, rows_per_chunk
-    )
+def make_plan(cols: np.ndarray, k: int, rows_per_chunk: int = 256,
+              max_staged_rows: int | None = None) -> BellPlan | None:
+    """Plan one k-wide segment.  When max_staged_rows is given (the
+    VMEM budget: 2 staging slots x u*BLK rows x f_pad lanes must fit
+    ~16MB/core), rows_per_chunk is halved until the worst chunk's
+    staged footprint fits; returns None if even 8-row chunks do not
+    (caller falls back to the XLA gather path)."""
+    cols = np.asarray(cols)
+    r = rows_per_chunk
+    while True:
+        blocks, locals_, nb, c_chunks, u = plan_chunks(cols, k, r)
+        if max_staged_rows is None or u * BLK <= max_staged_rows:
+            break
+        if r <= 8:
+            return None
+        r //= 2
     return BellPlan(
         blocks=jnp.asarray(blocks),
         locals_=jnp.asarray(locals_),
-        nb=nb, c_chunks=c_chunks, u=u, r=rows_per_chunk, k=k,
+        nb=nb, c_chunks=c_chunks, u=u, r=r, k=k,
         n_need=int(blocks.max() + 1) * BLK,
     )
+
+
+# segments with fewer slots than this keep the XLA gather path (a
+# pallas_call per tiny bin costs more in launch/compile than it saves)
+_MIN_PLAN_SLOTS = 1 << 15
+# default VMEM budget for the double-buffered staging scratch: rows such
+# that 2 * rows * 128 lanes * 4B ~ 8MB, half of the ~16MB/core VMEM
+_MAX_STAGED_ROWS = 8192
+
+
+def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
+                        rows_per_chunk: int = 256):
+    """Per-segment BellPlans for a HostBinnedEll, in _bell_raw's segment
+    order (degree-class bins, then the hub block).  Entries are None for
+    segments where the fused kernel should not run (too few slots, or
+    staging cannot fit VMEM) — the executor mixes paths per segment."""
+    from gala_tpu.data.ell import _segments
+
+    budget_rows = int(8 << 20) // (2 * max(f_pad, 128) * itemsize)
+    budget_rows = max(min(budget_rows, _MAX_STAGED_ROWS), BLK)
+    plans = []
+    for k, nb, off in _segments(hb):
+        if nb * k < _MIN_PLAN_SLOTS:
+            plans.append(None)
+            continue
+        cols = hb.flat_cols[off : off + nb * k]
+        plans.append(
+            make_plan(cols, k, rows_per_chunk, max_staged_rows=budget_rows)
+        )
+    return tuple(plans)
 
 
 def bell_spmm_planned(plan: BellPlan, x, vals, use_gather: bool = True,

@@ -344,13 +344,30 @@ def _bell_raw(bell, x, n_out_pad):
     f = x.shape[1]
     s_total = bell.flat_cols.shape[0]
     itemsize = jnp.dtype(x.dtype).itemsize
-    p = _pack_factor(x.shape[0], f, itemsize)
+    # fused Pallas path (plans built at graph load): block-DMA staging
+    # replaces the XLA gather entirely, so packing/staging don't apply
+    use_pallas = bell.pallas_plans is not None
+    xp_pallas = None
+    if use_pallas:
+        f_pad = ((f + 127) // 128) * 128
+        n_need = max(
+            (pn.n_need for pn in bell.pallas_plans if pn is not None),
+            default=0,
+        )
+        xp_pallas = x
+        if f_pad != f:
+            xp_pallas = jnp.pad(xp_pallas, ((0, 0), (0, f_pad - f)))
+        if n_need > xp_pallas.shape[0]:
+            xp_pallas = jnp.pad(
+                xp_pallas, ((0, n_need - xp_pallas.shape[0]), (0, 0))
+            )
+    p = 1 if use_pallas else _pack_factor(x.shape[0], f, itemsize)
     xt = _pack_table(x, p) if p > 1 else x
     # staged two-level gather: only for big unpackable tables (f > 64)
     # with enough per-chunk duplication to win (see _STAGE_MIN_BYTES)
     tab_bytes = x.shape[0] * _phys_cols(f) * itemsize
     use_stage = (
-        bell.stage is not None and p == 1
+        bell.stage is not None and p == 1 and not use_pallas
         and tab_bytes > _STAGE_MIN_BYTES
         and _phys_cols(f) <= _STAGE_MAX_PHYS
     )
@@ -360,12 +377,20 @@ def _bell_raw(bell, x, n_out_pad):
     # Packed mode always goes through the chunked reducer (its per-chunk
     # //p and %p keep every index intermediate chunk-sized).
     flat = (
-        p == 1 and not use_stage and not bell.chunk_slots
+        p == 1 and not use_stage and not use_pallas and not bell.chunk_slots
         and s_total * _phys_cols(f) <= _BELL_FLAT_ELEMS
     )
     gathered = x[bell.flat_cols] if flat else None
 
     def bin_reduce(off, nb, k, vals, seg_idx):
+        if use_pallas and bell.pallas_plans[seg_idx] is not None:
+            from gala_tpu.ops.pallas.bell_spmm import bell_spmm_planned
+
+            out = bell_spmm_planned(
+                bell.pallas_plans[seg_idx], xp_pallas, vals,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return out[:, :f].astype(x.dtype)
         if flat:
             seg = jax.lax.slice_in_dim(gathered, off, off + nb * k).reshape(nb, k, f)
             return jnp.einsum(
@@ -436,6 +461,14 @@ def _spmm_bell_bwd(n_out, c_out, res, dz):
             stage=tuple(
                 (_float0_like(u), _float0_like(l)) for u, l in b.stage
             ) if b.stage is not None else None,
+            pallas_plans=tuple(
+                _dc.replace(
+                    pn,
+                    blocks=_float0_like(pn.blocks),
+                    locals_=_float0_like(pn.locals_),
+                ) if pn is not None else None
+                for pn in b.pallas_plans
+            ) if b.pallas_plans is not None else None,
         )
 
     return (zeros_ct(bell), zeros_ct(t_bell), dx)

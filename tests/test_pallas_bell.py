@@ -67,3 +67,48 @@ def test_sddmm_pallas_matches_dense():
     out = sddmm_pallas(jnp.asarray(a), jnp.asarray(b), dst, src,
                        edges_per_chunk=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bell_strategy_wiring(monkeypatch, small_dataset):
+    """strategy='pallas_bell' routes bell aggregation through the fused
+    kernel (interpret mode off-TPU) and matches dense, fwd + bwd."""
+    import jax
+
+    import gala_tpu.ops.pallas.bell_spmm as pb
+    from gala_tpu.data.csr import densify
+    from gala_tpu.ops.graph import Graph
+    from gala_tpu.ops.spmm import spmm
+
+    # the small test graph is far below the real slot gate
+    monkeypatch.setattr(pb, "_MIN_PLAN_SLOTS", 0)
+    g_host, *_ = small_dataset
+    g = Graph.from_host(g_host, strategy="pallas_bell")
+    a = densify(g_host)
+    assert g.bell is not None and g.bell.pallas_plans is not None
+    assert any(p is not None for p in g.bell.pallas_plans)
+
+    x = np.random.default_rng(0).normal(size=(g.n_nodes, 16)).astype(np.float32)
+    xp = g.pad_nodes(x)
+    out = np.asarray(spmm(g, xp))
+    np.testing.assert_allclose(out[: g.n_nodes], a @ x, rtol=1e-4, atol=1e-4)
+
+    grad = jax.grad(lambda v: jnp.sum(spmm(g, v) ** 2))(xp)
+    ref = 2 * a.T @ (a @ x)
+    np.testing.assert_allclose(
+        np.asarray(grad)[: g.n_nodes], ref, rtol=1e-3, atol=1e-3
+    )
+
+
+def test_pallas_plan_vmem_autoshrink():
+    """make_plan halves rows_per_chunk until the staged footprint fits
+    the given budget."""
+    from gala_tpu.ops.pallas.bell_spmm import make_plan
+
+    rng = np.random.default_rng(7)
+    # adversarial: every slot hits a distinct 8-row block
+    cols = (np.arange(512 * 4) * BLK % (512 * 4 * BLK)).astype(np.int32)
+    rng.shuffle(cols)
+    plan = make_plan(cols, k=4, rows_per_chunk=512, max_staged_rows=256)
+    assert plan is not None
+    assert plan.u * BLK <= 256
+    assert plan.r < 512
