@@ -6,7 +6,17 @@ set -x
 cd /root/repo
 mkdir -p results_r2
 
-# 0. headline bench (now reports roofline GB/s + GAT row)
+# -1. Pallas fused bell-SpMM on the real chip FIRST (Mosaic lowering +
+#     perf vs the XLA gather composition; decides whether pallas_bell
+#     becomes an auto default).  Small table (<100MB, XLA fast) and a
+#     Products-scale table (>500MB physical, XLA above the cliff).
+python scripts/bench_pallas_bell.py --n 60000 --f 128 --nb 1000000 --k 16 \
+    | tee results_r2/pallas_bell_small.txt
+python scripts/bench_pallas_bell.py --n 2500000 --f 128 --nb 8000000 --k 16 \
+    --locality 0.3 | tee results_r2/pallas_bell_big.txt
+python scripts/bench_pallas_bell.py --sddmm | tee results_r2/pallas_sddmm.txt
+
+# 0. headline bench (now reports roofline GB/s + GAT row + vs_bcoo)
 python bench.py | tee results_r2/bench.json
 
 # 1. table5: DIR axis is now real (col_tile drives executed chunking) —
