@@ -184,6 +184,10 @@ _spmm_ev_ell.defvjp(_spmm_ev_ell_fwd, _spmm_ev_ell_bwd)
 # occupies (S, 128) HBM (see ops/attention._phys_cols).
 _BELL_CHUNK_ELEMS = 1 << 26
 _BELL_FLAT_ELEMS = 1 << 29
+# at/above this many chunks the unrolled barrier chain is replaced by a
+# rolled lax.scan (HLO size / remote-compile time dominates the lost
+# depth-2 pipeline overlap there)
+_SCAN_MIN_CHUNKS = 16
 
 # Gather-table packing: the measured XLA row-gather rate drops ~10x once
 # the table's PHYSICAL footprint (minor dim padded to 128 lanes) crosses
@@ -302,6 +306,33 @@ def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None, stage=None,
 
     if n_chunks == 1:
         return chunk_reduce(x, cols_flat.reshape(nb, k), vals)
+    if n_chunks >= _SCAN_MIN_CHUNKS:
+        # Many chunks: a rolled lax.scan instead of the unrolled barrier
+        # chain.  One chunk's gather temp is live at a time (the scan
+        # body is its own memory barrier), the HLO stays O(1) in chunk
+        # count (unrolled many-chunk programs cost minutes of remote
+        # compile at papers100M scale), at the price of the depth-2
+        # adjacent-chunk overlap (measured 3-9% on fig18 cells — the
+        # rolled form only triggers where compile/HLO size dominates).
+        nb_pad = n_chunks * rows_per_chunk
+        cols2 = cols_flat
+        vals2 = vals
+        if nb_pad != nb:
+            cols2 = jnp.concatenate(
+                [cols2, jnp.zeros((nb_pad - nb) * k, cols2.dtype)]
+            )
+            vals2 = jnp.concatenate(
+                [vals2, jnp.zeros((nb_pad - nb, k), vals2.dtype)]
+            )
+        cols2 = cols2.reshape(n_chunks, rows_per_chunk, k)
+        vals2 = vals2.reshape(n_chunks, rows_per_chunk, k)
+
+        def body(_, chunk):
+            cols_c, vals_c = chunk
+            return 0, chunk_reduce(x, cols_c, vals_c)
+
+        _, outs = jax.lax.scan(body, 0, (cols2, vals2))
+        return outs.reshape(nb_pad, -1)[:nb]
     outs = []
     # Two alternating barrier-chained table refs: chunk i+2's gather
     # waits on chunk i's output, so at most ~2 chunk buffers are live

@@ -232,6 +232,33 @@ def test_packed_chunked_gather_matches(monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_scan_chunked_bell_matches(monkeypatch):
+    """Rolled lax.scan chunking (forced via _SCAN_MIN_CHUNKS) == the
+    unrolled barrier chain == the one-shot path, fwd + bwd."""
+    import jax
+    import jax.numpy as jnp
+
+    import gala_tpu.ops.spmm as S
+    from gala_tpu.data.csr import coo_to_csr
+    from gala_tpu.ops.graph import Graph
+
+    rng = np.random.default_rng(21)
+    n, e = 600, 8000
+    g_host = coo_to_csr(rng.integers(0, n, e), rng.integers(0, n, e),
+                        rng.random(e).astype(np.float32), n, n)
+    g = Graph.from_host(g_host, strategy="bell")
+    x = jnp.asarray(rng.standard_normal((g.c_pad, 32)).astype(np.float32))
+    ref = np.asarray(S.spmm(g, x))
+    ref_grad = np.asarray(jax.grad(lambda v: jnp.sum(S.spmm(g, v) ** 2))(x))
+    monkeypatch.setattr(S, "_BELL_FLAT_ELEMS", 0)
+    monkeypatch.setattr(S, "_BELL_CHUNK_ELEMS", 1 << 14)
+    monkeypatch.setattr(S, "_SCAN_MIN_CHUNKS", 2)
+    got = np.asarray(S.spmm(g, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    got_grad = np.asarray(jax.grad(lambda v: jnp.sum(S.spmm(g, v) ** 2))(x))
+    np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-4, atol=1e-4)
+
+
 def test_long_indices_path(small_dataset):
     """use_long widens edge ids/offsets (t_perm, CSR row_ptr, ELL perms)
     to int64 — the inference_long driver's >2^31-edge contract — without
