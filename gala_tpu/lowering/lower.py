@@ -227,10 +227,18 @@ def lower(
     # (reference: src/ops/tiling.h:222-284 + src/codegen/cuda.h:470-497)
     if use_long:
         spec.use_long = True
+    # pallas_bell: budget the kernels' VMEM chunking for the widest
+    # feature matrix any layer aggregates (backward attention gathers
+    # [dout | vr | m | s | sds] rows: + 4 score columns per head)
+    pallas_feat = 128
+    if strategy == "pallas_bell":
+        widths = [int(feats.shape[1])] + [int(s) for s in spec.output_sizes]
+        pallas_feat = max(widths) + (4 * nh if attention else 0)
     full_g = Graph.from_host(
         g_host, strategy=strategy, undirected=spec.graph.undirected,
         edge_vals=edge_vals, attention=attention, keep_edges=keep_edges,
         col_tile=spec.col_tile or None, long_indices=spec.use_long,
+        pallas_feat=pallas_feat,
     )
     n_layers = spec.num_layers
     full_graphs = [full_g] * n_layers
@@ -245,6 +253,7 @@ def lower(
                 edge_vals=edge_vals,
                 attention=attention, keep_edges=keep_edges,
                 col_tile=spec.col_tile or None,
+                pallas_feat=pallas_feat,
             )
             for s in subs
         ]

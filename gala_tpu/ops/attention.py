@@ -207,7 +207,8 @@ class AttnBell:
 
     @classmethod
     def from_host(cls, g: HostCSR, n_pad: int, c_pad: int,
-                  chunk_slots: int = 0) -> "AttnBell":
+                  chunk_slots: int = 0, use_pallas: bool = False,
+                  pallas_feat: int = 128) -> "AttnBell":
         from gala_tpu.data.ell import S_CHUNK, build_stage_tables
         from gala_tpu.ops.graph import _STAGE_BUILD_BYTES
 
@@ -219,10 +220,24 @@ class AttnBell:
             st = build_stage_tables(h, chunk_slots or S_CHUNK)
             return st if st.uniq_frac < 0.55 else None
 
+        plans = None
+        if use_pallas:
+            # fused Pallas attention forward runs the BIN segments only
+            # (hub cross-virtual-row softmax keeps the XLA online path)
+            from gala_tpu.ops.pallas.bell_spmm import build_segment_plans
+
+            plans = list(build_segment_plans(
+                hb, f_pad=((pallas_feat + 127) // 128) * 128
+            ))
+            if hb.n_big:
+                plans[-1] = None
+            plans = tuple(plans)
+
         return cls(
             fwd=BellDev.from_host(hb, n_pad, g.n_rows,
                                   stage_tables=_stage(hb, g.n_cols),
-                                  chunk_slots=chunk_slots),
+                                  chunk_slots=chunk_slots,
+                                  pallas_plans=plans),
             t=BellDev.from_host(hbt, c_pad, g.n_cols,
                                 stage_tables=_stage(hbt, g.n_rows),
                                 chunk_slots=chunk_slots),
@@ -355,8 +370,41 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
     sctx = _stage_ctx(b, xx, p_x, hf + nh)
 
+    # fused Pallas forward: pad the [x | vl] table once (cols to 128
+    # lanes, rows to the largest plan's DMA coverage)
+    xx_pallas = None
+    if b.pallas_plans is not None:
+        live = [pn for pn in b.pallas_plans if pn is not None]
+        if live and all(
+            _phys_cols(hf + nh) <= pn.f_budget for pn in live
+        ):
+            fp = _phys_cols(hf + nh)
+            xx_pallas = xx
+            if fp != hf + nh:
+                xx_pallas = jnp.pad(xx_pallas, ((0, 0), (0, fp - (hf + nh))))
+            n_need = max(pn.n_need for pn in live)
+            if n_need > xx_pallas.shape[0]:
+                xx_pallas = jnp.pad(
+                    xx_pallas, ((0, n_need - xx_pallas.shape[0]), (0, 0))
+                )
+
     parts, ms, ss, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
+        plan = b.pallas_plans[si] if xx_pallas is not None else None
+        if plan is not None:
+            from gala_tpu.ops.pallas.attn_bell import attn_fwd_planned
+
+            o_b, m_b, s_b = attn_fwd_planned(
+                plan, xx_pallas, w, vr_bin[r0 : r0 + nb], hf, nh, slope,
+                interpret=jax.default_backend() != "tpu",
+            )
+            parts.append(o_b.astype(x.dtype))
+            ms.append(m_b)
+            ss.append(s_b)
+            off += nb * k
+            r0 += nb
+            si += 1
+            continue
         outs, mcs, scs = [], [], []
         for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh, b.chunk_slots)):
             cols = jax.lax.slice_in_dim(
@@ -779,6 +827,10 @@ def _is_flat(ab: AttnBell, hf: int, nh: int) -> bool:
         return False
     if ab.fwd.chunk_slots or ab.t.chunk_slots:
         return False
+    # Pallas plans only run from the chunked path (its per-bin structure
+    # matches the kernels' per-segment plans)
+    if ab.fwd.pallas_plans is not None:
+        return False
     s_f = int(ab.fwd.flat_cols.shape[0]) * _phys_cols(hf + nh)
     s_t = int(ab.t.flat_cols.shape[0]) * _phys_cols(hf + 4 * nh)
     return max(s_f, s_t) <= _ATTN_FLAT_ELEMS
@@ -837,6 +889,14 @@ def _attn_bwd(n_pad, c_pad, slope, res, dout):
             stage=tuple(
                 (_float0_like(u), _float0_like(l)) for u, l in b.stage
             ) if b.stage is not None else None,
+            pallas_plans=tuple(
+                dataclasses.replace(
+                    pn,
+                    blocks=_float0_like(pn.blocks),
+                    locals_=_float0_like(pn.locals_),
+                ) if pn is not None else None
+                for pn in b.pallas_plans
+            ) if b.pallas_plans is not None else None,
         )
 
     dab = AttnBell(

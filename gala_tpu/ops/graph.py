@@ -222,6 +222,7 @@ class Graph:
         keep_edges: bool | str = "auto",
         col_tile: float | None = None,
         long_indices: bool = False,
+        pallas_feat: int = 128,
     ) -> "Graph":
         """keep_edges: upload the raw (padded) edge lists and transpose
         permutation.  The bell layout never reads them, and at scale the
@@ -321,7 +322,9 @@ class Graph:
         if attention and strategy == "bell":
             from gala_tpu.ops.attention import AttnBell
 
-            attn = AttnBell.from_host(g, n_pad, c_pad, chunk_slots=chunk_slots)
+            attn = AttnBell.from_host(g, n_pad, c_pad, chunk_slots=chunk_slots,
+                                      use_pallas=use_pallas,
+                                      pallas_feat=pallas_feat)
 
         bell = t_bell = None
         if strategy == "bell":
@@ -348,7 +351,11 @@ class Graph:
                     return None
                 from gala_tpu.ops.pallas.bell_spmm import build_segment_plans
 
-                return build_segment_plans(hb_side)
+                # budget VMEM chunk sizes for the widest feature matrix
+                # this graph will aggregate (pallas_feat, physical lanes)
+                return build_segment_plans(
+                    hb_side, f_pad=((pallas_feat + 127) // 128) * 128
+                )
 
             hb = build_binned_ell(g, phantom_col=c)
             bell = BellDev.from_host(hb, n_pad, n, stage_tables=_stage(hb, c),

@@ -1,0 +1,185 @@
+"""Fused Pallas attention forward for binned-ELL bin segments.
+
+One kernel per degree-class bin computes, for each chunk of virtual
+rows, the ENTIRE fused-attention forward in VMEM: block-DMA staging of
+the [x | vl] rows (multiple rows per descriptor, double-buffered across
+grid steps — same plan machinery as ops.pallas.bell_spmm), in-VMEM slot
+gather, per-head masked leaky-relu softmax, and the weighted feature
+reduce.  No (S, hf+H) slot intermediate ever touches HBM — the XLA
+chunked path (ops/attention._attn_fwd_chunked) streams that buffer
+through HBM once per chunk; here it lives only in VMEM.
+
+This is the TPU shape of the reference's fused GAT edge-kernel suite
+(reference: src/codegen/cuda.h:504-953: SDDVV + inplace softmax + SpMM
+with edge values as separate kernel launches over edge-sized buffers);
+the slot layout turns all three into one row-local pass.
+
+Hub nodes (deg > 128, cross-virtual-row softmax) and the backward pass
+stay on the XLA online-softmax path — hubs are a tiny fraction of rows,
+and the backward recomputes from node-sized tables by design
+(ops/attention.py module docstring).
+
+Semantics mirror ops/attention._head_softmax exactly:
+  z    = leaky_relu(vl[src, h] + vr[dst, h]);  masked slots -> -1e30
+  p    = exp(z - rowmax) / rowsum, masked slots -> 0
+  out  = sum_k p * x[src, h*fh:(h+1)*fh]
+and the returned per-row (m, s) stats feed the standard chunked
+backward (_attn_bwd_chunked).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gala_tpu.ops.pallas.bell_spmm import BLK, BellPlan
+
+_NEG = -1e30
+_STATS_LANES = 128  # m|s packed into one (r, 128) stats output
+
+
+def _lrelu(z, slope):
+    return jnp.where(z > 0, z, slope * z)
+
+
+def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
+            out_ref, stats_ref, staged, sems,
+            *, u, k, hf, fh, nh, slope, f_pad, out_pad):
+    """Grid step c: softmax-attend chunk c from staging slot c%2 while
+    chunk c+1's block DMAs land in slot (c+1)%2."""
+    r = locals_ref.shape[1]
+    pid = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    def issue_chunk(c, slot):
+        def issue(i, _):
+            pltpu.make_async_copy(
+                xx_hbm.at[pl.ds(blocks_ref[c, i] * BLK, BLK), :],
+                staged.at[slot, pl.ds(i * BLK, BLK), :],
+                sems.at[slot],
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, u, issue, 0)
+
+    def wait_chunk(slot):
+        def wait(i, _):
+            pltpu.make_async_copy(
+                xx_hbm.at[pl.ds(0, BLK), :],
+                staged.at[slot, pl.ds(i * BLK, BLK), :],
+                sems.at[slot],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, u, wait, 0)
+
+    @pl.when(pid == 0)
+    def _():
+        issue_chunk(0, 0)
+
+    @pl.when(pid + 1 < n_chunks)
+    def _():
+        issue_chunk(pid + 1, (pid + 1) % 2)
+
+    wait_chunk(pid % 2)
+
+    locals_ = locals_ref[0]                       # (r, k)
+    w = w_ref[0]                                  # (r, k) occupancy mask
+    vr = vr_ref[0]                                # (r, nh)
+    tab = staged[pid % 2]                         # (u*BLK, f_pad)
+    seg = jnp.take(tab, locals_.reshape(-1), axis=0).reshape(r, k, f_pad)
+
+    outs, ms, ss = [], [], []
+    for h in range(nh):
+        z = seg[..., hf + h].astype(jnp.float32) + vr[:, h][:, None].astype(
+            jnp.float32
+        )
+        z = jnp.where(w != 0, _lrelu(z, slope), _NEG)
+        m = jnp.maximum(jnp.max(z, axis=1), _NEG / 2)
+        p = jnp.where(w != 0, jnp.exp(z - m[:, None]), 0.0)
+        s = jnp.sum(p, axis=1)
+        s = jnp.where(s > 0, s, 1.0)
+        p = p / s[:, None]
+        outs.append(
+            jnp.einsum(
+                "vk,vkf->vf", p.astype(tab.dtype),
+                seg[..., h * fh : (h + 1) * fh],
+                preferred_element_type=jnp.float32,
+            )
+        )
+        ms.append(m)
+        ss.append(s)
+    out = jnp.concatenate(outs, axis=1) if nh > 1 else outs[0]  # (r, hf)
+    if out_pad > hf:
+        out = jnp.concatenate(
+            [out, jnp.zeros((r, out_pad - hf), out.dtype)], axis=1
+        )
+    out_ref[...] = out.astype(out_ref.dtype)
+    stats = jnp.stack(ms + ss, axis=1)                          # (r, 2*nh)
+    stats_ref[...] = jnp.concatenate(
+        [stats, jnp.zeros((r, _STATS_LANES - 2 * nh), jnp.float32)], axis=1
+    )
+
+
+def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
+                     slope: float, interpret: bool = False):
+    """Fused attention forward for one pre-planned k-wide bin segment.
+
+    xx: (n', f_pad) padded [x | vl] table (f_pad % 128 == 0, rows cover
+    plan.n_need); w: (nb, k) slot occupancy; vr_rows: (nb, nh) dst-side
+    scores in bin order.  Returns (out (nb, hf), m (nb, nh), s (nb, nh)).
+    """
+    n, f_pad = xx.shape
+    assert f_pad % 128 == 0 and n >= plan.n_need, (xx.shape, plan.n_need)
+    assert 2 * nh <= _STATS_LANES
+    r, k, u, c_chunks, nb = plan.r, plan.k, plan.u, plan.c_chunks, plan.nb
+    fh = hf // nh
+    out_pad = ((hf + 127) // 128) * 128
+    w_pad = jnp.zeros((c_chunks * r, k), w.dtype).at[:nb].set(w)
+    vr_pad = jnp.zeros((c_chunks * r, nh), jnp.float32).at[:nb].set(
+        vr_rows.astype(jnp.float32)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
+            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
+            pl.BlockSpec((1, r, nh), lambda c, blocks: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, out_pad), lambda c, blocks: (c, 0)),
+            pl.BlockSpec((r, _STATS_LANES), lambda c, blocks: (c, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, u * BLK, f_pad), xx.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = functools.partial(
+        _kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
+        f_pad=f_pad, out_pad=out_pad,
+    )
+    out, stats = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c_chunks * r, out_pad), xx.dtype),
+            jax.ShapeDtypeStruct((c_chunks * r, _STATS_LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        plan.blocks,
+        plan.locals_.reshape(c_chunks, r, k),
+        w_pad.reshape(c_chunks, r, k),
+        vr_pad.reshape(c_chunks, r, nh),
+        xx,
+    )
+    m = stats[:nb, :nh]
+    s = stats[:nb, nh : 2 * nh]
+    return out[:nb, :hf], m, s

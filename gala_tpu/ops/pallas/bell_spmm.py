@@ -147,10 +147,14 @@ class BellPlan:
     r: int
     k: int
     n_need: int          # table rows every block DMA stays inside
+    f_budget: int = 128  # physical feature width r was budgeted for; the
+                         # executor falls back to XLA when the actual
+                         # width exceeds it (VMEM would overflow)
 
     def tree_flatten(self):
         return ((self.blocks, self.locals_),
-                (self.nb, self.c_chunks, self.u, self.r, self.k, self.n_need))
+                (self.nb, self.c_chunks, self.u, self.r, self.k,
+                 self.n_need, self.f_budget))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -158,7 +162,8 @@ class BellPlan:
 
 
 def make_plan(cols: np.ndarray, k: int, rows_per_chunk: int = 256,
-              max_staged_rows: int | None = None) -> BellPlan | None:
+              max_staged_rows: int | None = None,
+              f_budget: int = 128) -> BellPlan | None:
     """Plan one k-wide segment.  When max_staged_rows is given (the
     VMEM budget: 2 staging slots x u*BLK rows x f_pad lanes must fit
     ~16MB/core), rows_per_chunk is halved until the worst chunk's
@@ -178,6 +183,7 @@ def make_plan(cols: np.ndarray, k: int, rows_per_chunk: int = 256,
         locals_=jnp.asarray(locals_),
         nb=nb, c_chunks=c_chunks, u=u, r=r, k=k,
         n_need=int(blocks.max() + 1) * BLK,
+        f_budget=f_budget,
     )
 
 
@@ -187,6 +193,9 @@ _MIN_PLAN_SLOTS = 1 << 15
 # default VMEM budget for the double-buffered staging scratch: rows such
 # that 2 * rows * 128 lanes * 4B ~ 8MB, half of the ~16MB/core VMEM
 _MAX_STAGED_ROWS = 8192
+# budget for the in-kernel (r, k, f_pad) gathered segment: r shrinks so
+# this buffer stays ~4MB (staging 8MB + seg 4MB + out/indices < 16MB VMEM)
+_SEG_VMEM_BYTES = 4 << 20
 
 
 def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
@@ -204,9 +213,14 @@ def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
         if nb * k < _MIN_PLAN_SLOTS:
             plans.append(None)
             continue
+        # wide-k segments shrink r so the (r, k, f_pad) in-VMEM gathered
+        # segment stays within budget
+        r_seg = max(_SEG_VMEM_BYTES // (k * max(f_pad, 128) * itemsize), 8)
         cols = hb.flat_cols[off : off + nb * k]
         plans.append(
-            make_plan(cols, k, rows_per_chunk, max_staged_rows=budget_rows)
+            make_plan(cols, k, min(rows_per_chunk, r_seg),
+                      max_staged_rows=budget_rows,
+                      f_budget=max(f_pad, 128))
         )
     return tuple(plans)
 

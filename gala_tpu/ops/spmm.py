@@ -414,11 +414,14 @@ def _bell_raw(bell, x, n_out_pad):
     gathered = x[bell.flat_cols] if flat else None
 
     def bin_reduce(off, nb, k, vals, seg_idx):
-        if use_pallas and bell.pallas_plans[seg_idx] is not None:
+        plan = bell.pallas_plans[seg_idx] if use_pallas else None
+        # a plan budgeted for a narrower feature width than the actual
+        # one would overflow its VMEM staging — fall back to XLA
+        if plan is not None and _phys_cols(f) <= plan.f_budget:
             from gala_tpu.ops.pallas.bell_spmm import bell_spmm_planned
 
             out = bell_spmm_planned(
-                bell.pallas_plans[seg_idx], xp_pallas, vals,
+                plan, xp_pallas, vals,
                 interpret=jax.default_backend() != "tpu",
             )
             return out[:, :f].astype(x.dtype)

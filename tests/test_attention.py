@@ -236,3 +236,49 @@ def test_multihead_attention_vs_dense_reference(attn_graph, monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(got)[:n], np.asarray(want)[:n], rtol=2e-4, atol=2e-4
             )
+
+
+def test_pallas_attention_forward_matches(attn_graph, monkeypatch):
+    """AttnBell built with use_pallas: bin segments run the fused Pallas
+    forward (interpret mode off-TPU); output and grads match the plain
+    path (the backward is the shared chunked recompute driven by the
+    kernel's m/s stats).  Multi-head included."""
+    import gala_tpu.ops.attention as A
+    import gala_tpu.ops.pallas.bell_spmm as pb
+    from gala_tpu.ops.attention import AttnBell
+
+    g_host, g = attn_graph
+    monkeypatch.setattr(pb, "_MIN_PLAN_SLOTS", 0)
+    ab_p = AttnBell.from_host(g_host, g.n_pad, g.c_pad, use_pallas=True)
+    assert ab_p.fwd.pallas_plans is not None
+    assert any(p is not None for p in ab_p.fwd.pallas_plans)
+    if ab_p.fwd.n_big:
+        assert ab_p.fwd.pallas_plans[-1] is None  # hub stays XLA
+
+    rng = np.random.default_rng(9)
+    for nh in (1, 4):
+        x = jnp.asarray(rng.standard_normal((g.c_pad, 16)).astype(np.float32))
+        vl = jnp.asarray(rng.standard_normal((g.c_pad, nh)).astype(np.float32))
+        vr = jnp.asarray(rng.standard_normal((g.n_pad, nh)).astype(np.float32))
+        dout = jnp.asarray(
+            rng.standard_normal((g.n_pad, 16)).astype(np.float32)
+        )
+
+        def loss(ab, x, vl, vr):
+            out = attention_aggregate(g.n_pad, g.c_pad, SLOPE, ab, x, vl, vr)
+            return jnp.sum(out * dout), out
+
+        (l0, out0), g0 = jax.value_and_grad(
+            lambda *a: loss(g.attn, *a), argnums=(0, 1, 2), has_aux=True
+        )(x, vl, vr)
+        assert not A._is_flat(ab_p, 16, nh)
+        (l1, out1), g1 = jax.value_and_grad(
+            lambda *a: loss(ab_p, *a), argnums=(0, 1, 2), has_aux=True
+        )(x, vl, vr)
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out0), rtol=2e-5, atol=2e-5
+        )
+        for a0, a1 in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(a1), np.asarray(a0), rtol=2e-4, atol=2e-5
+            )

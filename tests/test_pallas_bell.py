@@ -112,3 +112,61 @@ def test_pallas_plan_vmem_autoshrink():
     assert plan is not None
     assert plan.u * BLK <= 256
     assert plan.r < 512
+
+
+def test_attn_fwd_pallas_matches_reference():
+    """Fused Pallas attention forward == masked leaky-relu softmax +
+    weighted reduce (ops/attention._head_softmax semantics), multi-head."""
+    from gala_tpu.ops.pallas.attn_bell import attn_fwd_planned
+    from gala_tpu.ops.pallas.bell_spmm import make_plan
+
+    rng = np.random.default_rng(11)
+    n, nb, k, hf, nh, slope = 300, 90, 7, 32, 4, 0.2
+    fh = hf // nh
+    cols = rng.integers(0, n, nb * k).astype(np.int32)
+    w = (rng.random((nb, k)) > 0.25).astype(np.float32)
+    w[:, 0] = 1.0  # every row keeps at least one slot
+    x = rng.normal(size=(n, hf)).astype(np.float32)
+    vl = rng.normal(size=(n, nh)).astype(np.float32)
+    vr = rng.normal(size=(nb, nh)).astype(np.float32)
+
+    # reference math in numpy
+    NEG = -1e30
+    seg_x = x[cols.reshape(nb, k)]          # (nb, k, hf)
+    seg_l = vl[cols.reshape(nb, k)]         # (nb, k, nh)
+    ref = np.zeros((nb, hf), np.float32)
+    ref_m = np.zeros((nb, nh), np.float32)
+    ref_s = np.zeros((nb, nh), np.float32)
+    for h in range(nh):
+        z = seg_l[..., h] + vr[:, h][:, None]
+        z = np.where(z > 0, z, slope * z)
+        z = np.where(w != 0, z, NEG)
+        m = np.maximum(z.max(axis=1), NEG / 2)
+        p = np.where(w != 0, np.exp(z - m[:, None]), 0.0)
+        s = p.sum(axis=1)
+        s = np.where(s > 0, s, 1.0)
+        p = p / s[:, None]
+        ref[:, h * fh : (h + 1) * fh] = np.einsum(
+            "vk,vkf->vf", p, seg_x[..., h * fh : (h + 1) * fh]
+        )
+        ref_m[:, h] = m
+        ref_s[:, h] = s
+
+    # kernel input: [x | vl] padded to 128 lanes
+    f_pad = 128
+    xx = np.zeros((n, f_pad), np.float32)
+    xx[:, :hf] = x
+    xx[:, hf : hf + nh] = vl
+    plan = make_plan(cols, k, rows_per_chunk=32)
+    xxj = jnp.asarray(xx)
+    if plan.n_need > n:
+        xxj = jnp.concatenate(
+            [xxj, jnp.zeros((plan.n_need - n, f_pad))], axis=0
+        )
+    out, m, s = attn_fwd_planned(
+        plan, xxj, jnp.asarray(w), jnp.asarray(vr), hf, nh, slope,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m), ref_m, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-4, atol=1e-4)
