@@ -52,10 +52,15 @@ def main():
     ap.add_argument("--rows-per-chunk", type=int, default=256)
     ap.add_argument("--sddmm", action="store_true",
                     help="also bench the Pallas SDDMM vs XLA two-gather")
+    ap.add_argument("--attn", action="store_true",
+                    help="bench the fused Pallas attention forward vs the "
+                         "XLA gather + per-head softmax + reduce chain")
+    ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--locality", type=float, default=0.0,
                     help="0 = uniform random cols; >0 = cols clustered "
                          "in windows of this fraction of the table")
     args = ap.parse_args()
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
     n, f, nb, k = args.n, args.f, args.nb, args.k
@@ -78,11 +83,65 @@ def main():
         try:
             fn = jax.jit(lambda form=form: bell_spmm_pallas(
                 x, cols, vals, k=k, rows_per_chunk=args.rows_per_chunk,
-                use_gather=form))
+                use_gather=form, interpret=interp))
             t = timeit(fn)
             print(f"{label}: {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
         except Exception as e:  # noqa: BLE001 — report which form fails to lower
             print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}")
+
+    if args.attn:
+        from gala_tpu.ops.pallas.attn_bell import attn_fwd_planned
+        from gala_tpu.ops.pallas.bell_spmm import make_plan
+
+        nh, slope = args.heads, 0.2
+        hf = f  # features; kernel input is [x | vl] in one 128-lane table
+        f_pad = ((hf + nh + 127) // 128) * 128
+        xx = jnp.zeros((n, f_pad), dt).at[:, :hf].set(x.astype(dt))
+        xx = xx.at[:, hf : hf + nh].set(
+            jnp.asarray(rng.normal(size=(n, nh)).astype(np.float32)).astype(dt)
+        )
+        vr = jnp.asarray(rng.normal(size=(nb, nh)).astype(np.float32))
+        w = jnp.asarray(
+            (rng.random((nb, k)) > 0.1).astype(np.float32)
+        ).at[:, 0].set(1.0)
+
+        def xla_attn():
+            seg = xx[cols_dev].reshape(nb, k, f_pad)
+            outs = []
+            fh = hf // nh
+            for h in range(nh):
+                z = seg[..., hf + h].astype(jnp.float32) + vr[:, h][:, None]
+                z = jnp.where(z > 0, z, slope * z)
+                z = jnp.where(w != 0, z, -1e30)
+                m = jnp.max(z, axis=1)
+                p = jnp.where(w != 0, jnp.exp(z - m[:, None]), 0.0)
+                p = p / jnp.maximum(jnp.sum(p, axis=1), 1e-30)[:, None]
+                outs.append(jnp.einsum(
+                    "vk,vkf->vf", p.astype(dt), seg[..., h * fh : (h + 1) * fh],
+                    preferred_element_type=jnp.float32))
+            return jnp.concatenate(outs, axis=1).astype(dt)
+
+        t = timeit(jax.jit(xla_attn))
+        print(f"xla attn:     {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
+        itemsize = jnp.dtype(dt).itemsize
+        budget_rows = max((8 << 20) // (2 * f_pad * itemsize), 8)
+        plan = make_plan(cols, k, rows_per_chunk=args.rows_per_chunk,
+                         max_staged_rows=budget_rows, f_budget=f_pad)
+        if plan is None:
+            print("pallas attn:  no feasible plan (staging exceeds VMEM)")
+        else:
+            xxp = xx
+            if plan.n_need > n:
+                xxp = jnp.concatenate(
+                    [xx, jnp.zeros((plan.n_need - n, f_pad), dt)], axis=0)
+            try:
+                t = timeit(jax.jit(lambda: attn_fwd_planned(
+                    plan, xxp, w, vr, hf, nh, slope, interpret=interp)[0]))
+                print(f"pallas attn:  {t*1e3:8.2f} ms  "
+                      f"{nb*k/t/1e6:8.1f}M slots/s")
+            except Exception as ex:  # noqa: BLE001
+                print(f"pallas attn:  FAILED — "
+                      f"{type(ex).__name__}: {str(ex)[:200]}")
 
     if args.sddmm:
         from gala_tpu.ops.pallas.sddmm import sddmm_pallas
@@ -96,7 +155,8 @@ def main():
             lambda: jnp.sum(a[dst_dev] * x[src_dev], axis=1)))
         print(f"xla sddmm:    {t*1e3:8.2f} ms  {e/t/1e6:8.1f}M edges/s")
         try:
-            t = timeit(jax.jit(lambda: sddmm_pallas(a, x, dst, srcv)))
+            t = timeit(jax.jit(lambda: sddmm_pallas(a, x, dst, srcv,
+                                                    interpret=interp)))
             print(f"pallas sddmm: {t*1e3:8.2f} ms  {e/t/1e6:8.1f}M edges/s")
         except Exception as ex:  # noqa: BLE001
             print(f"pallas sddmm: FAILED — {type(ex).__name__}: {str(ex)[:200]}")

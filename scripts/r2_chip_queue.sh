@@ -15,6 +15,10 @@ python scripts/bench_pallas_bell.py --n 60000 --f 128 --nb 1000000 --k 16 \
 python scripts/bench_pallas_bell.py --n 2500000 --f 128 --nb 8000000 --k 16 \
     --locality 0.3 | tee results_r2/pallas_bell_big.txt
 python scripts/bench_pallas_bell.py --sddmm | tee results_r2/pallas_sddmm.txt
+python scripts/bench_pallas_bell.py --attn --n 60000 --f 128 --nb 1000000 \
+    --k 16 | tee results_r2/pallas_attn_small.txt
+python scripts/bench_pallas_bell.py --attn --n 2500000 --f 128 --nb 8000000 \
+    --k 16 --locality 0.3 | tee results_r2/pallas_attn_big.txt
 
 # 0. headline bench (now reports roofline GB/s + GAT row + vs_bcoo)
 python bench.py | tee results_r2/bench.json
