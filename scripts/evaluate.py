@@ -78,8 +78,12 @@ BODIES = {"gcn": GCN_BODY, "gat": GAT_BODY, "gin": GIN_BODY, "sage": SAGE_BODY}
 
 
 def make_dsl(model: str, dataset: str, layers=2, hidden=32, iters=100,
-             schedule: str = "") -> str:
+             schedule: str = "", heads: int = 1) -> str:
     body = BODIES[model]
+    if model == "gat" and heads > 1:
+        # multi-head GAT (BASELINE.json configs[2]: 3-layer 8-head):
+        # heads share one fused slot gather, per-head softmax/reduce
+        schedule = f"attention_heads({heads});\n" + schedule
     inits = []
     for i in range(layers):
         size = str(hidden) if i < layers - 1 else "G.labels.size()"
@@ -116,11 +120,15 @@ def job_fig16(args):
     out = os.path.join(args.outdir, "stat_fig16.csv")
     for dataset in args.datasets:
         for model in args.models:
-            src = make_dsl(model, dataset, iters=args.iters)
+            src = make_dsl(model, dataset, iters=args.iters,
+                           layers=args.layers[0], heads=args.heads)
             cm, res = run_one(src, iters=args.iters, scale=args.scale)
+            label = model if args.heads <= 1 or model != "gat" else (
+                f"{model}-h{args.heads}"
+            )
             append_csv(
                 out, "dataset,model,inference_time,total_time,accuracy",
-                f"{dataset},{model},{res.inference_time},{res.total_time},{res.max_accuracy}",
+                f"{dataset},{label},{res.inference_time},{res.total_time},{res.max_accuracy}",
             )
 
 
@@ -252,6 +260,8 @@ def main():
     ap.add_argument("--fractions", nargs="+", type=float,
                     default=[0.01, 0.02, 0.05, 0.1, 0.2])
     ap.add_argument("--layers", nargs="+", type=int, default=[2, 3, 4, 8])
+    ap.add_argument("--heads", type=int, default=1,
+                    help="GAT attention heads (fig16; hidden % heads == 0)")
     ap.add_argument("--hidden", nargs="+", type=int,
                     default=[32, 64, 128, 256, 512, 1024])
     ap.add_argument("--t6-dataset", default="Products",

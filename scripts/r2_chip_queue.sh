@@ -38,6 +38,10 @@ python scripts/evaluate.py --job fig16 --datasets Reddit --models gat gcn \
 python scripts/evaluate.py --job fig16 --datasets Products --models gat gcn \
     --scale 0.25 --iters 30 --outdir results_r2
 
+# 2b. multi-head GAT (BASELINE configs[2]: 3-layer 8-head on Arxiv)
+python scripts/evaluate.py --job fig16 --datasets Arxiv --models gat \
+    --layers 3 --heads 8 --iters 30 --outdir results_r2
+
 # 3. table7 with fused dynamic sampling (r1: dynamic 8.8x over none;
 #    scanned (ra,rb) epochs should bring it to ~1.5x)
 python scripts/evaluate.py --job table7 --datasets Arxiv --iters 30 \
