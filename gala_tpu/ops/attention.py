@@ -77,17 +77,91 @@ def _lrelu(z, slope):
     return jnp.where(z > 0, z, slope * z)
 
 
-def _chunks(n_rows: int, k: int, f: int, chunk_slots: int = 0):
-    """Static chunk bounds [(lo, hi), ...] with ~_ATTN_CHUNK_ELEMS
-    *physical* elements per gathered buffer.  A schedule-driven
-    `chunk_slots` (the DIR `col_tile` directive, reference:
-    src/ops/tiling.h:222-284) overrides the budget-derived granularity
-    so the schedule changes the executed chunking."""
+def _chunk_rows(k: int, f: int, chunk_slots: int = 0) -> int:
+    """Rows per chunk: ~_ATTN_CHUNK_ELEMS *physical* elements per
+    gathered buffer, or the schedule-driven `chunk_slots` granularity
+    (the DIR `col_tile` directive, reference: src/ops/tiling.h:222-284)."""
     if chunk_slots:
-        rows = max(chunk_slots // k, 1)
-    else:
-        rows = max(_ATTN_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
+        return max(chunk_slots // k, 1)
+    return max(_ATTN_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
+
+
+def _chunks(n_rows: int, k: int, f: int, chunk_slots: int = 0):
+    """Static chunk bounds [(lo, hi), ...] at _chunk_rows granularity."""
+    rows = _chunk_rows(k, f, chunk_slots)
     return [(lo, min(n_rows, lo + rows)) for lo in range(0, n_rows, rows)]
+
+
+# at/above this many chunks a segment's unrolled barrier chain is
+# replaced by a rolled lax.scan: O(1) HLO in chunk count (unrolled
+# many-chunk programs cost minutes of remote compile at products/
+# papers100M scale), one live gather temp, at the price of the depth-2
+# adjacent-chunk overlap (measured 3-9% — only triggers where compile
+# time / HLO size dominates).  Mirrors ops/spmm._SCAN_MIN_CHUNKS.
+_SCAN_MIN_CHUNKS = 16
+
+
+def _rolled_map(cols_seg, rows, k, per_row, body, rows_per_chunk,
+                pad_vals=None):
+    """Rolled per-chunk map: reshape this segment's slot columns and
+    per-row operands into (n_chunks, r, ...) and lax.scan `body` over
+    them.  body(cols_c, *per_row_c) -> tuple of (r, ...) outputs, which
+    are restacked to (rows, ...) with the tail padding dropped.
+    pad_vals: per-operand tail fill (default zeros) — e.g. 1.0 for
+    softmax denominators so padded rows never divide by zero."""
+    n_chunks = -(-rows // rows_per_chunk)
+    pad = n_chunks * rows_per_chunk - rows
+    if pad:
+        cols_seg = jnp.concatenate(
+            [cols_seg, jnp.zeros(pad * k, cols_seg.dtype)]
+        )
+        per_row = tuple(
+            jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:],
+                             (pad_vals or {}).get(i, 0), a.dtype)]
+            )
+            for i, a in enumerate(per_row)
+        )
+    cols2 = cols_seg.reshape(n_chunks, rows_per_chunk, k)
+    per2 = tuple(
+        a.reshape(n_chunks, rows_per_chunk, *a.shape[1:]) for a in per_row
+    )
+
+    def sbody(_, inp):
+        return 0, body(inp[0], *inp[1:])
+
+    _, outs = jax.lax.scan(sbody, 0, (cols2,) + per2)
+    return tuple(
+        o.reshape(n_chunks * rows_per_chunk, *o.shape[2:])[:rows]
+        for o in outs
+    )
+
+
+def _rolled_acc(cols_seg, rows, k, per_row, carry0, body, rows_per_chunk):
+    """Rolled hub accumulation: like _rolled_map but body(carry,
+    cols_c, *per_row_c) -> carry threads segment-level accumulators
+    (online-softmax state / gradient sums) through the scan carry.
+    Padded tail rows carry zeroed masks so they contribute nothing."""
+    n_chunks = -(-rows // rows_per_chunk)
+    pad = n_chunks * rows_per_chunk - rows
+    if pad:
+        cols_seg = jnp.concatenate(
+            [cols_seg, jnp.zeros(pad * k, cols_seg.dtype)]
+        )
+        per_row = tuple(
+            jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            for a in per_row
+        )
+    cols2 = cols_seg.reshape(n_chunks, rows_per_chunk, k)
+    per2 = tuple(
+        a.reshape(n_chunks, rows_per_chunk, *a.shape[1:]) for a in per_row
+    )
+
+    def sbody(carry, inp):
+        return body(carry, inp[0], *inp[1:]), 0
+
+    carry, _ = jax.lax.scan(sbody, carry0, (cols2,) + per2)
+    return carry
 
 
 def _gather_slots(table, cols, p, fw, stage_pair=None):
@@ -405,6 +479,33 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             r0 += nb
             si += 1
             continue
+        rows_c = _chunk_rows(k, hf + nh, b.chunk_slots)
+        if sctx is None and -(-nb // rows_c) >= _SCAN_MIN_CHUNKS:
+            # many-chunk bin: rolled lax.scan (see _SCAN_MIN_CHUNKS)
+            def fwd_body(cols_c, wv, vr_c):
+                seg = _gather_slots(pl.table(), cols_c, p_x, hf + nh)
+                outs_h, m_h, s_h = [], [], []
+                for h in range(nh):
+                    o, _, m, s = _head_softmax(seg, wv, vr_c, hf, fh, h, slope)
+                    outs_h.append(o)
+                    m_h.append(m)
+                    s_h.append(s)
+                o_c = jnp.concatenate(outs_h, axis=1) if nh > 1 else outs_h[0]
+                m = jnp.concatenate(m_h, axis=1) if nh > 1 else m_h[0]
+                s = jnp.concatenate(s_h, axis=1) if nh > 1 else s_h[0]
+                return o_c, m, s
+
+            cols_seg = jax.lax.slice_in_dim(b.flat_cols, off, off + nb * k)
+            o_b, m_b, s_b = _rolled_map(
+                cols_seg, nb, k, (w, vr_bin[r0 : r0 + nb]), fwd_body, rows_c
+            )
+            parts.append(o_b)
+            ms.append(m_b)
+            ss.append(s_b)
+            off += nb * k
+            r0 += nb
+            si += 1
+            continue
         outs, mcs, scs = [], [], []
         for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh, b.chunk_slots)):
             cols = jax.lax.slice_in_dim(
@@ -436,17 +537,9 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
         si += 1
     if b.n_big:
         vb, kb = b.big_vals.shape
-        m = jnp.full((b.n_big, nh), _NEG, jnp.float32)
-        s = jnp.zeros((b.n_big, nh), jnp.float32)
-        acc = jnp.zeros((b.n_big, hf), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, hf + nh, b.chunk_slots)):
-            cols = jax.lax.slice_in_dim(
-                b.flat_cols, off + lo * kb, off + hi * kb
-            ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
-                                sctx[si][ci] if sctx else None)
-            wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
-            vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
+
+        def hub_chunk(m, s, acc, seg, wv, vrow):
+            """One online-softmax hub update (rescaling accumulators)."""
             m_hs, s_hs, acc_hs = [], [], []
             for h in range(nh):
                 z = seg[..., hf + h].astype(jnp.float32) + vr_bin[
@@ -481,7 +574,35 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             m = jnp.stack(m_hs, axis=1)
             s = jnp.stack(s_hs, axis=1)
             acc = jnp.concatenate(acc_hs, axis=1) if nh > 1 else acc_hs[0]
-            m, s, acc = pl.step(m, s, acc)
+            return m, s, acc
+
+        m = jnp.full((b.n_big, nh), _NEG, jnp.float32)
+        s = jnp.zeros((b.n_big, nh), jnp.float32)
+        acc = jnp.zeros((b.n_big, hf), jnp.float32)
+        rows_c = _chunk_rows(kb, hf + nh, b.chunk_slots)
+        if sctx is None and -(-vb // rows_c) >= _SCAN_MIN_CHUNKS:
+            def hub_body(carry, cols_c, wv, vrow):
+                seg = _gather_slots(pl.table(), cols_c, p_x, hf + nh)
+                return hub_chunk(*carry, seg, wv, vrow)
+
+            cols_seg = jax.lax.slice_in_dim(b.flat_cols, off, off + vb * kb)
+            m, s, acc = _rolled_acc(
+                cols_seg, vb, kb, (b.big_vals, b.big_vrow),
+                (m, s, acc), hub_body, rows_c,
+            )
+        else:
+            for ci, (lo, hi) in enumerate(
+                _chunks(vb, kb, hf + nh, b.chunk_slots)
+            ):
+                cols = jax.lax.slice_in_dim(
+                    b.flat_cols, off + lo * kb, off + hi * kb
+                ).reshape(hi - lo, kb)
+                seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
+                                    sctx[si][ci] if sctx else None)
+                wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
+                vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
+                m, s, acc = hub_chunk(m, s, acc, seg, wv, vrow)
+                m, s, acc = pl.step(m, s, acc)
         s = jnp.where(s > 0, s, 1.0)
         out_big = jnp.concatenate(
             [
@@ -548,6 +669,40 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
 
     sds_parts, a_parts, b_parts, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
+        rows_c = _chunk_rows(k, hf + nh, b.chunk_slots)
+        if sctx is None and -(-nb // rows_c) >= _SCAN_MIN_CHUNKS:
+            # many-chunk bin: rolled lax.scan (see _SCAN_MIN_CHUNKS)
+            def bwd_body(cols_c, wv, vr_c, do_c, m_c, s_c):
+                seg = _gather_slots(pl.table(), cols_c, p_x, hf + nh)
+                sds_h, a_h, b_h = [], [], []
+                for h in range(nh):
+                    sds_c, a_c, b_c = _head_bwd_stats(
+                        seg, wv, vr_c, do_c, m_c, s_c, hf, fh, h, slope
+                    )
+                    sds_h.append(sds_c)
+                    a_h.append(a_c)
+                    b_h.append(b_c)
+                return (
+                    jnp.concatenate(sds_h, axis=1) if nh > 1 else sds_h[0],
+                    jnp.concatenate(a_h, axis=1) if nh > 1 else a_h[0],
+                    jnp.concatenate(b_h, axis=1) if nh > 1 else b_h[0],
+                )
+
+            cols_seg = jax.lax.slice_in_dim(b.flat_cols, off, off + nb * k)
+            sds_b, a_b2, b_b2 = _rolled_map(
+                cols_seg, nb, k,
+                (w, vr_bin[r0 : r0 + nb], dout_bin[r0 : r0 + nb],
+                 m_bin[r0 : r0 + nb], s_bin[r0 : r0 + nb]),
+                bwd_body, rows_c,
+                pad_vals={4: 1},  # softmax denominators: avoid 0/0 rows
+            )
+            sds_parts.append(sds_b)
+            a_parts.append(a_b2)
+            b_parts.append(b_b2)
+            off += nb * k
+            r0 += nb
+            si += 1
+            continue
         sds_cs, a_cs, b_cs = [], [], []
         for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh, b.chunk_slots)):
             cols = jax.lax.slice_in_dim(
@@ -582,23 +737,15 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         si += 1
     if b.n_big:
         vb, kb = b.big_vals.shape
-        sds_b = jnp.zeros((b.n_big, nh), jnp.float32)
-        a_b = jnp.zeros((b.n_big, nh), jnp.float32)
-        b_b = jnp.zeros((b.n_big, nh), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, hf + nh, b.chunk_slots)):
-            cols = jax.lax.slice_in_dim(
-                b.flat_cols, off + lo * kb, off + hi * kb
-            ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
-                                sctx[si][ci] if sctx else None)
-            wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
-            vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
+
+        def hub_bwd_chunk(sds_b, a_b, b_b, seg, wv, vrow):
             sds_h, a_h, b_h = [], [], []
             for h in range(nh):
                 sds_c, a_c, b_c = _head_bwd_stats(
                     seg, wv, vr_bin[r0 + vrow], dout_bin[r0 + vrow],
                     m_bin[r0 + vrow], s_bin[r0 + vrow], hf, fh, h, slope,
                 )
+
                 def seg_add(val):
                     return jax.ops.segment_sum(
                         val[:, 0], vrow, num_segments=b.n_big,
@@ -611,7 +758,35 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
             sds_b = sds_b + (jnp.concatenate(sds_h, axis=1) if nh > 1 else sds_h[0])
             a_b = a_b + (jnp.concatenate(a_h, axis=1) if nh > 1 else a_h[0])
             b_b = b_b + (jnp.concatenate(b_h, axis=1) if nh > 1 else b_h[0])
-            sds_b, a_b, b_b = pl.step(sds_b, a_b, b_b)
+            return sds_b, a_b, b_b
+
+        sds_b = jnp.zeros((b.n_big, nh), jnp.float32)
+        a_b = jnp.zeros((b.n_big, nh), jnp.float32)
+        b_b = jnp.zeros((b.n_big, nh), jnp.float32)
+        rows_c = _chunk_rows(kb, hf + nh, b.chunk_slots)
+        if sctx is None and -(-vb // rows_c) >= _SCAN_MIN_CHUNKS:
+            def hub_bwd_body(carry, cols_c, wv, vrow):
+                seg = _gather_slots(pl.table(), cols_c, p_x, hf + nh)
+                return hub_bwd_chunk(*carry, seg, wv, vrow)
+
+            cols_seg = jax.lax.slice_in_dim(b.flat_cols, off, off + vb * kb)
+            sds_b, a_b, b_b = _rolled_acc(
+                cols_seg, vb, kb, (b.big_vals, b.big_vrow),
+                (sds_b, a_b, b_b), hub_bwd_body, rows_c,
+            )
+        else:
+            for ci, (lo, hi) in enumerate(
+                _chunks(vb, kb, hf + nh, b.chunk_slots)
+            ):
+                cols = jax.lax.slice_in_dim(
+                    b.flat_cols, off + lo * kb, off + hi * kb
+                ).reshape(hi - lo, kb)
+                seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
+                                    sctx[si][ci] if sctx else None)
+                wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
+                vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
+                sds_b, a_b, b_b = hub_bwd_chunk(sds_b, a_b, b_b, seg, wv, vrow)
+                sds_b, a_b, b_b = pl.step(sds_b, a_b, b_b)
         sds_parts.append(sds_b)
         a_parts.append(a_b)
         b_parts.append(b_b)
@@ -638,6 +813,23 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
 
     parts, off, r0, si = [], 0, 0, 0
     for k, nb, w in zip(t.bin_ks, t.bin_counts, t.bin_vals):
+        rows_c = _chunk_rows(k, wt, t.chunk_slots)
+        if sctx2 is None and -(-nb // rows_c) >= _SCAN_MIN_CHUNKS:
+            # many-chunk bin: rolled lax.scan (see _SCAN_MIN_CHUNKS)
+            def t_body(cols_c, wv, vl_c, x_c):
+                seg = _gather_slots(pl2.table(), cols_c, p_w, wt)
+                return (_slot_grads(seg, vl_c, x_c, wv, hf, fh, nh, slope),)
+
+            cols_seg = jax.lax.slice_in_dim(t.flat_cols, off, off + nb * k)
+            (o_b,) = _rolled_map(
+                cols_seg, nb, k,
+                (w, vl_t[r0 : r0 + nb], x_t[r0 : r0 + nb]), t_body, rows_c,
+            )
+            parts.append(o_b)
+            off += nb * k
+            r0 += nb
+            si += 1
+            continue
         outs = []
         for ci, (lo, hi) in enumerate(_chunks(nb, k, wt, t.chunk_slots)):
             cols = jax.lax.slice_in_dim(
@@ -659,21 +851,40 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     if t.n_big:
         vb, kb = t.big_vals.shape
         acc = jnp.zeros((t.n_big, hf + nh), jnp.float32)
-        for ci, (lo, hi) in enumerate(_chunks(vb, kb, wt, t.chunk_slots)):
-            cols = jax.lax.slice_in_dim(
-                t.flat_cols, off + lo * kb, off + hi * kb
-            ).reshape(hi - lo, kb)
-            seg = _gather_slots(pl2.table(), cols, p_w, wt,
-                                sctx2[si][ci] if sctx2 else None)
-            wv = jax.lax.slice_in_dim(t.big_vals, lo, hi)
-            vrow = jax.lax.slice_in_dim(t.big_vrow, lo, hi)
-            dgv = _slot_grads(
-                seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv, hf, fh, nh, slope
+        rows_c = _chunk_rows(kb, wt, t.chunk_slots)
+        if sctx2 is None and -(-vb // rows_c) >= _SCAN_MIN_CHUNKS:
+            def t_hub_body(acc, cols_c, wv, vrow):
+                seg = _gather_slots(pl2.table(), cols_c, p_w, wt)
+                dgv = _slot_grads(
+                    seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv, hf, fh, nh,
+                    slope,
+                )
+                return acc + jax.ops.segment_sum(
+                    dgv, vrow, num_segments=t.n_big, indices_are_sorted=True
+                )
+
+            cols_seg = jax.lax.slice_in_dim(t.flat_cols, off, off + vb * kb)
+            acc = _rolled_acc(
+                cols_seg, vb, kb, (t.big_vals, t.big_vrow),
+                acc, t_hub_body, rows_c,
             )
-            acc = acc + jax.ops.segment_sum(
-                dgv, vrow, num_segments=t.n_big, indices_are_sorted=True
-            )
-            (acc,) = pl2.step(acc)
+        else:
+            for ci, (lo, hi) in enumerate(_chunks(vb, kb, wt, t.chunk_slots)):
+                cols = jax.lax.slice_in_dim(
+                    t.flat_cols, off + lo * kb, off + hi * kb
+                ).reshape(hi - lo, kb)
+                seg = _gather_slots(pl2.table(), cols, p_w, wt,
+                                    sctx2[si][ci] if sctx2 else None)
+                wv = jax.lax.slice_in_dim(t.big_vals, lo, hi)
+                vrow = jax.lax.slice_in_dim(t.big_vrow, lo, hi)
+                dgv = _slot_grads(
+                    seg, vl_t[r0 + vrow], x_t[r0 + vrow], wv, hf, fh, nh,
+                    slope,
+                )
+                acc = acc + jax.ops.segment_sum(
+                    dgv, vrow, num_segments=t.n_big, indices_are_sorted=True
+                )
+                (acc,) = pl2.step(acc)
         parts.append(acc)
     dxx = _assemble(parts, t, c_pad, hf + nh, jnp.float32)
     return dxx[:, :hf], dxx[:, hf:], dvr

@@ -134,12 +134,17 @@ def test_model_gat_fused_matches_edge_path(attn_graph):
         np.testing.assert_allclose(out_f[:n], out_p[:n], rtol=2e-4, atol=2e-4)
 
 
-def test_chunked_attention_matches_flat(attn_graph, monkeypatch):
+@pytest.mark.parametrize("scan_min", [2, 1 << 30],
+                         ids=["rolled-scan", "unrolled"])
+def test_chunked_attention_matches_flat(attn_graph, monkeypatch, scan_min):
     """Forcing the memory-bounded chunked path (tiny _ATTN_CHUNK_ELEMS)
     must reproduce the flat path's output and gradients exactly (same
-    math, different blocking)."""
+    math, different blocking).  Parametrized over _SCAN_MIN_CHUNKS so
+    both the rolled lax.scan form and the unrolled barrier chain are
+    pinned (bins and hubs, forward and both backward passes)."""
     import gala_tpu.ops.attention as A
 
+    monkeypatch.setattr(A, "_SCAN_MIN_CHUNKS", scan_min)
     g_host, g = attn_graph
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((g.c_pad, 16)).astype(np.float32))
