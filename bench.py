@@ -13,7 +13,37 @@ be produced on shared hardware (the repo publishes none, BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+
+# The axon TPU tunnel can die mid-session, and a dead tunnel makes any
+# backend init (even CPU-intended) hang forever in make_c_api_client.
+# Probe device health in a throwaway subprocess BEFORE importing jax
+# here; on failure fall back to CPU (sitecustomize never registers axon
+# when PALLAS_AXON_POOL_IPS is empty) and report the backend in the
+# JSON line so a CPU number is never mistaken for a TPU number.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "axon" not in _plat:
+    pass  # caller explicitly pinned a non-TPU platform (e.g. cpu)
+else:
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        # sitecustomize already registered the (dead) axon platform in
+        # this interpreter — env vars alone can't unregister it, so
+        # re-exec with the axon opt-out set from interpreter start
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["GALA_BENCH_BACKEND_NOTE"] = (
+            "cpu-fallback (TPU tunnel unreachable)"
+        )
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+_BACKEND_NOTE = os.environ.pop("GALA_BENCH_BACKEND_NOTE", "default")
 
 import jax
 import jax.numpy as jnp
@@ -219,6 +249,8 @@ def main():
                 "gat_edges_per_s": round(gat_edges_per_s, 1),
                 "gat_vs_gcn_epoch": round(gat_epoch / gala_epoch, 2) if gala_epoch else 0.0,
                 "dtype": args.dtype,
+                "backend": jax.default_backend()
+                if _BACKEND_NOTE == "default" else _BACKEND_NOTE,
             }
         )
     )

@@ -137,6 +137,26 @@ def _rolled_map(cols_seg, rows, k, per_row, body, rows_per_chunk,
     )
 
 
+def _pallas_table(b, xx, width):
+    """Pad a gather table once per pass for the fused Pallas kernels:
+    columns to the 128-lane physical width, rows to the largest plan's
+    block-DMA coverage.  Returns None (XLA path) when this side has no
+    plans or the plans were budgeted for a narrower width than `width`
+    (the kernels' VMEM staging would overflow)."""
+    if b.pallas_plans is None:
+        return None
+    live = [pn for pn in b.pallas_plans if pn is not None]
+    fp = _phys_cols(width)
+    if not live or any(fp > pn.f_budget for pn in live):
+        return None
+    if fp != width:
+        xx = jnp.pad(xx, ((0, 0), (0, fp - width)))
+    n_need = max(pn.n_need for pn in live)
+    if n_need > xx.shape[0]:
+        xx = jnp.pad(xx, ((0, n_need - xx.shape[0]), (0, 0)))
+    return xx
+
+
 def _rolled_acc(cols_seg, rows, k, per_row, carry0, body, rows_per_chunk):
     """Rolled hub accumulation: like _rolled_map but body(carry,
     cols_c, *per_row_c) -> carry threads segment-level accumulators
@@ -294,18 +314,25 @@ class AttnBell:
             st = build_stage_tables(h, chunk_slots or S_CHUNK)
             return st if st.uniq_frac < 0.55 else None
 
-        plans = None
+        plans = plans_t = None
         if use_pallas:
-            # fused Pallas attention forward runs the BIN segments only
-            # (hub cross-virtual-row softmax keeps the XLA online path)
+            # fused Pallas attention kernels run the BIN segments only
+            # (hub cross-virtual-row softmax keeps the XLA online path).
+            # fwd plans drive the forward + backward pass-1 (same [x|vl]
+            # table); t plans drive backward pass-2 (the hf+4H-wide
+            # [dout|vr|m|s|sds] destination table) — both sides budget
+            # f_pad for the widest layer (pallas_feat includes the 4H).
             from gala_tpu.ops.pallas.bell_spmm import build_segment_plans
 
-            plans = list(build_segment_plans(
-                hb, f_pad=((pallas_feat + 127) // 128) * 128
-            ))
-            if hb.n_big:
-                plans[-1] = None
-            plans = tuple(plans)
+            f_pad = ((pallas_feat + 127) // 128) * 128
+
+            def _plans(h):
+                p = list(build_segment_plans(h, f_pad=f_pad))
+                if h.n_big:
+                    p[-1] = None
+                return tuple(p)
+
+            plans, plans_t = _plans(hb), _plans(hbt)
 
         return cls(
             fwd=BellDev.from_host(hb, n_pad, g.n_rows,
@@ -314,7 +341,8 @@ class AttnBell:
                                   pallas_plans=plans),
             t=BellDev.from_host(hbt, c_pad, g.n_cols,
                                 stage_tables=_stage(hbt, g.n_rows),
-                                chunk_slots=chunk_slots),
+                                chunk_slots=chunk_slots,
+                                pallas_plans=plans_t),
             rows=None if hb.identity_order else jnp.asarray(hb.order.astype(np.int32)),
             t_rows=None if hbt.identity_order else jnp.asarray(hbt.order.astype(np.int32)),
         )
@@ -444,23 +472,8 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
     sctx = _stage_ctx(b, xx, p_x, hf + nh)
 
-    # fused Pallas forward: pad the [x | vl] table once (cols to 128
-    # lanes, rows to the largest plan's DMA coverage)
-    xx_pallas = None
-    if b.pallas_plans is not None:
-        live = [pn for pn in b.pallas_plans if pn is not None]
-        if live and all(
-            _phys_cols(hf + nh) <= pn.f_budget for pn in live
-        ):
-            fp = _phys_cols(hf + nh)
-            xx_pallas = xx
-            if fp != hf + nh:
-                xx_pallas = jnp.pad(xx_pallas, ((0, 0), (0, fp - (hf + nh))))
-            n_need = max(pn.n_need for pn in live)
-            if n_need > xx_pallas.shape[0]:
-                xx_pallas = jnp.pad(
-                    xx_pallas, ((0, n_need - xx_pallas.shape[0]), (0, 0))
-                )
+    # fused Pallas forward: pad the [x | vl] table once
+    xx_pallas = _pallas_table(b, xx, hf + nh)
 
     parts, ms, ss, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
@@ -667,8 +680,27 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     pl = _Pipeline(_pack_table(xx, p_x) if p_x > 1 else xx)
     sctx = _stage_ctx(b, xx, p_x, hf + nh)
 
+    xx_pallas = _pallas_table(b, xx, hf + nh)
+
     sds_parts, a_parts, b_parts, off, r0, si = [], [], [], 0, 0, 0
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
+        plan = b.pallas_plans[si] if xx_pallas is not None else None
+        if plan is not None:
+            from gala_tpu.ops.pallas.attn_bell import attn_bwd1_planned
+
+            sds_b, a_b2, b_b2 = attn_bwd1_planned(
+                plan, xx_pallas, w, vr_bin[r0 : r0 + nb],
+                dout_bin[r0 : r0 + nb], m_bin[r0 : r0 + nb],
+                s_bin[r0 : r0 + nb], hf, nh, slope,
+                interpret=jax.default_backend() != "tpu",
+            )
+            sds_parts.append(sds_b)
+            a_parts.append(a_b2)
+            b_parts.append(b_b2)
+            off += nb * k
+            r0 += nb
+            si += 1
+            continue
         rows_c = _chunk_rows(k, hf + nh, b.chunk_slots)
         if sctx is None and -(-nb // rows_c) >= _SCAN_MIN_CHUNKS:
             # many-chunk bin: rolled lax.scan (see _SCAN_MIN_CHUNKS)
@@ -811,8 +843,24 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     pl2 = _Pipeline(_pack_table(w_tab, p_w) if p_w > 1 else w_tab)
     sctx2 = _stage_ctx(t, w_tab, p_w, wt)
 
+    wtab_pallas = _pallas_table(t, w_tab, wt)
+
     parts, off, r0, si = [], 0, 0, 0
     for k, nb, w in zip(t.bin_ks, t.bin_counts, t.bin_vals):
+        plan = t.pallas_plans[si] if wtab_pallas is not None else None
+        if plan is not None:
+            from gala_tpu.ops.pallas.attn_bell import attn_bwd2_planned
+
+            o_b = attn_bwd2_planned(
+                plan, wtab_pallas, w, x_t[r0 : r0 + nb],
+                vl_t[r0 : r0 + nb], hf, nh, slope,
+                interpret=jax.default_backend() != "tpu",
+            )
+            parts.append(o_b)
+            off += nb * k
+            r0 += nb
+            si += 1
+            continue
         rows_c = _chunk_rows(k, wt, t.chunk_slots)
         if sctx2 is None and -(-nb // rows_c) >= _SCAN_MIN_CHUNKS:
             # many-chunk bin: rolled lax.scan (see _SCAN_MIN_CHUNKS)

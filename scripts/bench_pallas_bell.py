@@ -124,9 +124,14 @@ def main():
         t = timeit(jax.jit(xla_attn))
         print(f"xla attn:     {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
         itemsize = jnp.dtype(dt).itemsize
-        budget_rows = max((8 << 20) // (2 * f_pad * itemsize), 8)
+        # budget staging for the WIDEST table any attention pass gathers
+        # (backward pass-2 stages the hf+4H-wide destination table)
+        wt_budget = ((hf + 4 * nh + 127) // 128) * 128
+        budget_rows = max(
+            (8 << 20) // (2 * max(f_pad, wt_budget) * itemsize), 8)
         plan = make_plan(cols, k, rows_per_chunk=args.rows_per_chunk,
-                         max_staged_rows=budget_rows, f_budget=f_pad)
+                         max_staged_rows=budget_rows,
+                         f_budget=max(f_pad, wt_budget))
         if plan is None:
             print("pallas attn:  no feasible plan (staging exceeds VMEM)")
         else:
@@ -141,6 +146,46 @@ def main():
                       f"{nb*k/t/1e6:8.1f}M slots/s")
             except Exception as ex:  # noqa: BLE001
                 print(f"pallas attn:  FAILED — "
+                      f"{type(ex).__name__}: {str(ex)[:200]}")
+
+            # backward pass-1 (stats on the same [x | vl] table)
+            from gala_tpu.ops.pallas.attn_bell import (
+                attn_bwd1_planned, attn_bwd2_planned,
+            )
+
+            do_rows = jnp.asarray(
+                rng.normal(size=(nb, hf)).astype(np.float32))
+            m_rows = jnp.asarray(rng.normal(size=(nb, nh)).astype(np.float32))
+            s_rows = jnp.asarray(
+                (rng.random((nb, nh)) + 0.5).astype(np.float32))
+            try:
+                t = timeit(jax.jit(lambda: attn_bwd1_planned(
+                    plan, xxp, w, vr, do_rows, m_rows, s_rows, hf, nh,
+                    slope, interpret=interp)[0]))
+                print(f"pallas bwd1:  {t*1e3:8.2f} ms  "
+                      f"{nb*k/t/1e6:8.1f}M slots/s")
+            except Exception as ex:  # noqa: BLE001
+                print(f"pallas bwd1:  FAILED — "
+                      f"{type(ex).__name__}: {str(ex)[:200]}")
+
+            # backward pass-2 (slot grads on the hf+4H-wide dst table)
+            wt = hf + 4 * nh
+            wt_pad = ((wt + 127) // 128) * 128
+            wtab = jnp.asarray(
+                rng.normal(size=(max(n, plan.n_need), wt_pad))
+                .astype(np.float32))
+            x_rows = jnp.asarray(
+                rng.normal(size=(nb, hf)).astype(np.float32))
+            vl_rows = jnp.asarray(
+                rng.normal(size=(nb, nh)).astype(np.float32))
+            try:
+                t = timeit(jax.jit(lambda: attn_bwd2_planned(
+                    plan, wtab, w, x_rows, vl_rows, hf, nh, slope,
+                    interpret=interp)))
+                print(f"pallas bwd2:  {t*1e3:8.2f} ms  "
+                      f"{nb*k/t/1e6:8.1f}M slots/s")
+            except Exception as ex:  # noqa: BLE001
+                print(f"pallas bwd2:  FAILED — "
                       f"{type(ex).__name__}: {str(ex)[:200]}")
 
     if args.sddmm:

@@ -245,9 +245,10 @@ def test_multihead_attention_vs_dense_reference(attn_graph, monkeypatch):
 
 def test_pallas_attention_forward_matches(attn_graph, monkeypatch):
     """AttnBell built with use_pallas: bin segments run the fused Pallas
-    forward (interpret mode off-TPU); output and grads match the plain
-    path (the backward is the shared chunked recompute driven by the
-    kernel's m/s stats).  Multi-head included."""
+    kernels — forward, backward pass-1 (stats on the fwd layout), and
+    backward pass-2 (slot grads on the transpose layout) — in interpret
+    mode off-TPU; output and grads match the plain path.  Multi-head
+    included; hubs stay XLA on every pass."""
     import gala_tpu.ops.attention as A
     import gala_tpu.ops.pallas.bell_spmm as pb
     from gala_tpu.ops.attention import AttnBell
@@ -257,6 +258,8 @@ def test_pallas_attention_forward_matches(attn_graph, monkeypatch):
     ab_p = AttnBell.from_host(g_host, g.n_pad, g.c_pad, use_pallas=True)
     assert ab_p.fwd.pallas_plans is not None
     assert any(p is not None for p in ab_p.fwd.pallas_plans)
+    assert ab_p.t.pallas_plans is not None
+    assert any(p is not None for p in ab_p.t.pallas_plans)
     if ab_p.fwd.n_big:
         assert ab_p.fwd.pallas_plans[-1] is None  # hub stays XLA
 

@@ -170,3 +170,93 @@ def test_attn_fwd_pallas_matches_reference():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(m), ref_m, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-4, atol=1e-4)
+
+    # ---- backward pass-1 kernel vs _head_bwd_stats numpy math -------- #
+    from gala_tpu.ops.pallas.attn_bell import attn_bwd1_planned
+
+    dout = rng.normal(size=(nb, hf)).astype(np.float32)
+    ref_sds = np.zeros((nb, nh), np.float32)
+    ref_a = np.zeros((nb, nh), np.float32)
+    ref_b = np.zeros((nb, nh), np.float32)
+    for h in range(nh):
+        zpre = seg_l[..., h] + vr[:, h][:, None]
+        z = np.where(zpre > 0, zpre, slope * zpre)
+        z = np.where(w != 0, z, NEG)
+        p = np.where(w != 0, np.exp(z - ref_m[:, h][:, None]), 0.0)
+        p = p / ref_s[:, h][:, None]
+        do = dout[:, h * fh : (h + 1) * fh]
+        dp = np.einsum("vkf,vf->vk", seg_x[..., h * fh : (h + 1) * fh], do)
+        lr = np.where(zpre > 0, 1.0, slope)
+        ref_sds[:, h] = np.sum(p * dp, axis=1)
+        ref_a[:, h] = np.sum(p * dp * lr, axis=1)
+        ref_b[:, h] = np.sum(p * lr, axis=1)
+    sds, a, bb = attn_bwd1_planned(
+        plan, xxj, jnp.asarray(w), jnp.asarray(vr), jnp.asarray(dout),
+        jnp.asarray(ref_m), jnp.asarray(ref_s), hf, nh, slope,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(sds), ref_sds, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a), ref_a, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bb), ref_b, rtol=1e-4, atol=1e-4)
+
+
+def test_attn_bwd2_pallas_matches_reference():
+    """Fused Pallas backward pass-2 == _slot_grads numpy math: slots
+    gather the destination-side [dout | vr | m | s | sds] table; output
+    rows are this source node's [dx | dvl]."""
+    from gala_tpu.ops.pallas.attn_bell import attn_bwd2_planned
+    from gala_tpu.ops.pallas.bell_spmm import make_plan
+
+    rng = np.random.default_rng(13)
+    n, nb, k, hf, nh, slope = 250, 80, 5, 32, 4, 0.2
+    fh = hf // nh
+    cols = rng.integers(0, n, nb * k).astype(np.int32)
+    w = (rng.random((nb, k)) > 0.3).astype(np.float32)
+    w[:, 0] = 1.0
+    dout = rng.normal(size=(n, hf)).astype(np.float32)
+    vr = rng.normal(size=(n, nh)).astype(np.float32)
+    m = rng.normal(size=(n, nh)).astype(np.float32)
+    s = (rng.random((n, nh)) + 0.5).astype(np.float32)
+    sds = rng.normal(size=(n, nh)).astype(np.float32)
+    x_rows = rng.normal(size=(nb, hf)).astype(np.float32)
+    vl_rows = rng.normal(size=(nb, nh)).astype(np.float32)
+
+    gc = cols.reshape(nb, k)
+    ref_dx = np.zeros((nb, hf), np.float32)
+    ref_dvl = np.zeros((nb, nh), np.float32)
+    NEG = -1e30
+    for h in range(nh):
+        do = dout[gc][..., h * fh : (h + 1) * fh]
+        zpre = vl_rows[:, h][:, None] + vr[gc][..., h]
+        z = np.where(zpre > 0, zpre, slope * zpre)
+        z = np.where(w != 0, z, NEG)
+        p = np.where(w != 0, np.exp(z - m[gc][..., h]) / s[gc][..., h], 0.0)
+        dp = np.einsum("vkf,vf->vk", do, x_rows[:, h * fh : (h + 1) * fh])
+        ds = p * (dp - sds[gc][..., h])
+        dz = ds * np.where(zpre > 0, 1.0, slope)
+        ref_dx[:, h * fh : (h + 1) * fh] = np.einsum("vk,vkf->vf", p, do)
+        ref_dvl[:, h] = dz.sum(axis=1)
+
+    f_pad = 128
+    wtab = np.zeros((n, f_pad), np.float32)
+    wtab[:, :hf] = dout
+    wtab[:, hf : hf + nh] = vr
+    wtab[:, hf + nh : hf + 2 * nh] = m
+    wtab[:, hf + 2 * nh : hf + 3 * nh] = s
+    wtab[:, hf + 3 * nh : hf + 4 * nh] = sds
+    plan = make_plan(cols, k, rows_per_chunk=32)
+    wtabj = jnp.asarray(wtab)
+    if plan.n_need > n:
+        wtabj = jnp.concatenate(
+            [wtabj, jnp.zeros((plan.n_need - n, f_pad))], axis=0
+        )
+    out = attn_bwd2_planned(
+        plan, wtabj, jnp.asarray(w), jnp.asarray(x_rows),
+        jnp.asarray(vl_rows), hf, nh, slope, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[:, :hf]), ref_dx, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[:, hf:]), ref_dvl, rtol=1e-4, atol=1e-4
+    )
