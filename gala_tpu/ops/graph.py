@@ -470,4 +470,24 @@ def choose_strategy(
     """
     if max(n_pad, c_pad) <= _DENSE_MAX_NODES:
         return "dense"
+    if not edge_vals and _pallas_auto(c_pad, feat_dim):
+        return "pallas_bell"
     return "ell" if edge_vals else "bell"
+
+
+def _pallas_auto(c_pad: int, feat_dim: int) -> bool:
+    """Opt into the fused Pallas kernels from strategy='auto'.
+
+    Enabled by GALA_PALLAS_AUTO=1 for graphs whose gather table sits
+    above the measured XLA gather cliff (~96MB physical — where the
+    staged/packed XLA fallbacks run at 158-323M rows/s and the fused
+    block-DMA kernels avoid the slot intermediate entirely,
+    docs/PERF_NOTES.md).  Off by default until the chip microbenches
+    (scripts/bench_pallas_bell.py) confirm the win on this platform —
+    flip the default on measured evidence, not hope."""
+    import os
+
+    if os.environ.get("GALA_PALLAS_AUTO") != "1":
+        return False
+    phys = ((feat_dim + 127) // 128) * 128
+    return c_pad * phys * 4 > (96 << 20)
