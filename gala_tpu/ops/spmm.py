@@ -98,15 +98,49 @@ def _ell_raw(cols, vals, vrow, x, n_out):
     """partial[v] = sum_k vals[v,k] * x[cols[v,k]]; scatter V rows only.
 
     Gathers happen at x's dtype (bf16 features double the row-gather
-    rate); the K-reduction accumulates in f32."""
-    gathered = x[cols]                                   # (V, K, F) gather
-    partial = jnp.einsum(
-        "vk,vkf->vf", vals.astype(x.dtype), gathered,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    return jax.ops.segment_sum(
-        partial, vrow, num_segments=n_out, indices_are_sorted=True
+    rate); the K-reduction accumulates in f32.  Above the gathered-
+    buffer budget (physical elements, see _BELL_CHUNK_ELEMS) the rows
+    are processed by a rolled lax.scan that scatter-adds each chunk into
+    the output carry — one bounded gather temp instead of a (V, K, F)
+    buffer that OOMs at ogbn-products scale on the weighted/
+    sparse-rewrite path."""
+    v, k = cols.shape
+    f = x.shape[1]
+    rows = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
+    n_chunks = -(-v // rows)
+    if n_chunks <= 1:
+        gathered = x[cols]                               # (V, K, F) gather
+        partial = jnp.einsum(
+            "vk,vkf->vf", vals.astype(x.dtype), gathered,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return jax.ops.segment_sum(
+            partial, vrow, num_segments=n_out, indices_are_sorted=True
+        )
+    pad = n_chunks * rows - v
+    if pad:
+        cols = jnp.concatenate([cols, jnp.zeros((pad, k), cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, k), vals.dtype)])
+        # padded rows scatter zeros into the last real segment
+        vrow = jnp.concatenate(
+            [vrow, jnp.full((pad,), n_out - 1, vrow.dtype)]
+        )
+
+    def body(acc, chunk):
+        cols_c, vals_c, vrow_c = chunk
+        partial = jnp.einsum(
+            "vk,vkf->vf", vals_c.astype(x.dtype), x[cols_c],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return acc.at[vrow_c].add(partial), 0
+
+    acc0 = jnp.zeros((n_out, f), x.dtype)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (cols.reshape(n_chunks, rows, k), vals.reshape(n_chunks, rows, k),
+         vrow.reshape(n_chunks, rows)),
     )
+    return acc
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))

@@ -259,6 +259,40 @@ def test_scan_chunked_bell_matches(monkeypatch):
     np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-4, atol=1e-4)
 
 
+def test_scan_chunked_ell_matches(monkeypatch):
+    """Memory-bounded ELL aggregation (weighted / sparse-rewrite path):
+    forcing the rolled scan via a tiny gathered-buffer budget must match
+    the one-shot path, fwd + grads (incl. the edge-value grad)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gala_tpu.ops.spmm as S
+    from gala_tpu.data.csr import coo_to_csr
+    from gala_tpu.ops.graph import Graph
+
+    rng = np.random.default_rng(23)
+    n, e = 500, 7000
+    g_host = coo_to_csr(rng.integers(0, n, e), rng.integers(0, n, e),
+                        rng.random(e).astype(np.float32), n, n)
+    g = Graph.from_host(g_host, strategy="ell", edge_vals=True)
+    x = jnp.asarray(rng.standard_normal((g.c_pad, 32)).astype(np.float32))
+    ev = jnp.asarray(rng.random(g.e_pad).astype(np.float32))
+
+    def loss(x, ev):
+        return jnp.sum(S.spmm_ev(g, ev, x) ** 2)
+
+    ref = np.asarray(S.spmm_ev(g, ev, x))
+    ref_gx, ref_ge = jax.grad(loss, argnums=(0, 1))(x, ev)
+    monkeypatch.setattr(S, "_BELL_CHUNK_ELEMS", 1 << 14)
+    got = np.asarray(S.spmm_ev(g, ev, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    got_gx, got_ge = jax.grad(loss, argnums=(0, 1))(x, ev)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(ref_gx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_ge), np.asarray(ref_ge),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_long_indices_path(small_dataset):
     """use_long widens edge ids/offsets (t_perm, CSR row_ptr, ELL perms)
     to int64 — the inference_long driver's >2^31-edge contract — without
