@@ -43,6 +43,31 @@ def test_sddmm(g):
     )
 
 
+def test_sddmm_chunked_matches(g, monkeypatch):
+    """Forcing the memory-bounded scan (tiny gathered-buffer budget)
+    must match the one-shot sddmm, forward and gradients."""
+    import gala_tpu.ops.spmm as S
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(g.n_pad, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(g.n_pad, 8)).astype(np.float32))
+    co = jnp.asarray(rng.normal(size=(g.e_pad,)).astype(np.float32))
+
+    def loss(a, b):
+        return jnp.sum(sddmm(g, a, b) * co)
+
+    ref = np.asarray(sddmm(g, a, b))
+    ref_ga, ref_gb = jax.grad(loss, argnums=(0, 1))(a, b)
+    monkeypatch.setattr(S, "_BELL_CHUNK_ELEMS", 1 << 12)
+    got = np.asarray(sddmm(g, a, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    got_ga, got_gb = jax.grad(loss, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(got_ga), np.asarray(ref_ga),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_gb), np.asarray(ref_gb),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_edge_softmax_normalizes(g):
     rng = np.random.default_rng(2)
     logits = jnp.asarray(rng.normal(size=(g.e_pad,)).astype(np.float32))
