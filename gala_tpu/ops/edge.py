@@ -61,28 +61,9 @@ def sddmm(g: Graph, a: jax.Array, b: jax.Array) -> jax.Array:
     (E, F) buffers — 63GB at ogbn-products full scale).
     (reference: src/codegen/cuda.h `...sddmm_mult_undir_shared`.)
     """
-    from gala_tpu.ops.spmm import _BELL_CHUNK_ELEMS, _phys_cols
+    from gala_tpu.ops.spmm import sddmm_edges
 
-    e = g.src.shape[0]
-    f = a.shape[1]
-    rows = max(_BELL_CHUNK_ELEMS // max(2 * _phys_cols(f), 1), 1)
-    n_chunks = -(-e // rows)
-    if n_chunks <= 1:
-        return jnp.sum(a[g.src] * b[g.dst], axis=-1)
-    pad = n_chunks * rows - e
-    src, dst = g.src, g.dst
-    if pad:
-        src = jnp.concatenate([src, jnp.zeros((pad,), src.dtype)])
-        dst = jnp.concatenate([dst, jnp.zeros((pad,), dst.dtype)])
-
-    def body(_, chunk):
-        s_c, d_c = chunk
-        return 0, jnp.sum(a[s_c] * b[d_c], axis=-1)
-
-    _, out = jax.lax.scan(
-        body, 0, (src.reshape(n_chunks, rows), dst.reshape(n_chunks, rows))
-    )
-    return out.reshape(-1)[:e]
+    return sddmm_edges(g.src, g.dst, a, b)
 
 
 def leaky_relu(x: jax.Array, alpha: float = 0.01) -> jax.Array:

@@ -51,6 +51,33 @@ def _seg_oneshot(src, dst, vals, x, n_out):
     return jax.ops.segment_sum(msg, dst, num_segments=n_out, indices_are_sorted=True)
 
 
+def sddmm_edges(src, dst, a, b):
+    """Per-edge dot product <a[src[e]], b[dst[e]]>, memory-bounded: above
+    the gathered-buffer budget the edges run a rolled lax.scan with two
+    bounded (rows, F) gather temps instead of two (E, F) buffers (63GB
+    at ogbn-products full scale).  Shared by ops.edge.sddmm and the
+    edge-value SpMM backwards."""
+    e = src.shape[0]
+    f = a.shape[1]
+    rows = max(_BELL_CHUNK_ELEMS // max(2 * _phys_cols(f), 1), 1)
+    n_chunks = -(-e // rows)
+    if n_chunks <= 1:
+        return jnp.sum(a[src] * b[dst], axis=-1)
+    pad = n_chunks * rows - e
+    if pad:
+        src = jnp.concatenate([src, jnp.zeros((pad,), src.dtype)])
+        dst = jnp.concatenate([dst, jnp.zeros((pad,), dst.dtype)])
+
+    def body(_, chunk):
+        s_c, d_c = chunk
+        return 0, jnp.sum(a[s_c] * b[d_c], axis=-1)
+
+    _, out = jax.lax.scan(
+        body, 0, (src.reshape(n_chunks, rows), dst.reshape(n_chunks, rows))
+    )
+    return out.reshape(-1)[:e]
+
+
 def _seg_scan(src, dst, vals, x, n_out, chunk: int = 0):
     """Chunked scatter-add aggregation.  `chunk` is the edges-per-chunk
     granularity (0 = module default SCAN_CHUNK); the DIR `col_tile`
@@ -196,7 +223,7 @@ def _spmm_ev_ell_fwd(
 def _spmm_ev_ell_bwd(n_out, c_out, res, dz):
     t_cols, t_vrow, t_perm, t_mask, src, dst, evals, x = res
     dx = _ell_raw(t_cols, _ev_slots(evals, t_perm, t_mask), t_vrow, dz, c_out)
-    devals = jnp.sum(dz[dst] * x[src], axis=-1)
+    devals = sddmm_edges(src, dst, x, dz)
     z = _float0_like
     return (
         z(t_cols), z(t_vrow), z(t_perm), jnp.zeros_like(t_mask),
@@ -670,7 +697,7 @@ def _spmm_ev_seg_bwd(n_out, c_out, scan, res, dz):
     # transpose order (the 2*layer+1 graph of the reference).
     dx = _seg_dispatch(t_src, t_dst, vals[t_perm], dz, c_out, scan)
     # dvals: SDDMM(dz, x) in forward edge order (gathers only).
-    dvals = jnp.sum(dz[dst] * x[src], axis=-1)
+    dvals = sddmm_edges(src, dst, x, dz)
     return (
         _float0_like(src), _float0_like(dst),
         _float0_like(t_src), _float0_like(t_dst), _float0_like(t_perm),
