@@ -594,13 +594,45 @@ def _sampled_ell(row_ptr, src, deg, k, ra, rb):
 
 
 def _dyn_raw(row_ptr, src, deg, x, k, ra, rb, scale):
-    cols, vals = _sampled_ell(row_ptr, src, deg, k, ra, rb)
-    gathered = x[cols]
-    out = jnp.einsum(
-        "vk,vkf->vf", (vals * scale).astype(x.dtype), gathered,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    return out
+    """Sampled aggregation; rows chunk through a rolled lax.scan above
+    the gathered-buffer budget (the sampled (N, k, F) gather is the
+    same OOM shape as the ELL path at papers100M node counts)."""
+    n = row_ptr.shape[0] - 1
+    f = x.shape[1]
+    rows = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
+    n_chunks = -(-n // rows)
+
+    def reduce(rp_c, deg_c):
+        cols, vals = _sampled_ell(
+            jnp.concatenate([rp_c, rp_c[-1:]]), src, deg_c, k, ra, rb
+        )
+        return jnp.einsum(
+            "vk,vkf->vf", (vals * scale).astype(x.dtype), x[cols],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+    if n_chunks <= 1:
+        cols, vals = _sampled_ell(row_ptr, src, deg, k, ra, rb)
+        return jnp.einsum(
+            "vk,vkf->vf", (vals * scale).astype(x.dtype), x[cols],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    pad = n_chunks * rows - n
+    rp = row_ptr[:-1]
+    dg = deg
+    if pad:
+        # padded rows read offset 0 with deg 0 -> vals 0, output dropped
+        rp = jnp.concatenate([rp, jnp.zeros((pad,), rp.dtype)])
+        dg = jnp.concatenate([dg, jnp.zeros((pad, 1), dg.dtype)])
+
+    def body(_, chunk):
+        rp_c, dg_c = chunk
+        return 0, reduce(rp_c, dg_c)
+
+    _, out = jax.lax.scan(
+        body, 0, (rp.reshape(n_chunks, rows), dg.reshape(n_chunks, rows, 1))
+    )
+    return out.reshape(n_chunks * rows, f)[:n]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))

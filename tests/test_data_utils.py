@@ -123,6 +123,32 @@ def test_dynamic_sampled_spmm(small_dataset):
     assert np.all(np.isfinite(np.asarray(grad)))
 
 
+def test_dynamic_sampled_spmm_chunked_matches(small_dataset, monkeypatch):
+    """Forcing the memory-bounded scan on the sampled path must match
+    the one-shot sampled aggregation exactly (same (ra, rb) stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gala_tpu.ops.spmm as S
+    from gala_tpu.ops.graph import Graph
+    from gala_tpu.ops.spmm import spmm_sampled
+
+    g_host, feats, *_ = small_dataset
+    g = Graph.from_host(g_host, strategy="ell")
+    x = g.pad_nodes(feats)
+    ref = np.asarray(spmm_sampled(g, x, k=4, ra=5, rb=7))
+    ref_g = np.asarray(
+        jax.grad(lambda v: jnp.sum(spmm_sampled(g, v, 4, 5, 7) ** 2))(x)
+    )
+    monkeypatch.setattr(S, "_BELL_CHUNK_ELEMS", 1 << 13)
+    got = np.asarray(spmm_sampled(g, x, k=4, ra=5, rb=7))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    got_g = np.asarray(
+        jax.grad(lambda v: jnp.sum(spmm_sampled(g, v, 4, 5, 7) ** 2))(x)
+    )
+    np.testing.assert_allclose(got_g, ref_g, rtol=1e-4, atol=1e-4)
+
+
 def test_multihead_gat(small_dataset):
     import functools
 
