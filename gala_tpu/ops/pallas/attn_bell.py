@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gala_tpu.ops.pallas.bell_spmm import BLK, BellPlan
+from gala_tpu.ops.pallas.bell_spmm import BLK, BellPlan, _vmem_gather
 
 _NEG = -1e30
 _STATS_LANES = 128  # m|s packed into one (r, 128) stats output
@@ -96,7 +96,7 @@ def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
     locals_ = locals_ref[0]                       # (r, k)
     w = w_ref[0]                                  # (r, k) occupancy mask
     vr = vr_ref[0]                                # (r, nh)
-    seg = jnp.take(tab, locals_.reshape(-1), axis=0).reshape(r, k, f_pad)
+    seg = _vmem_gather(tab, locals_.reshape(-1)).reshape(r, k, f_pad)
 
     outs, ms, ss = [], [], []
     for h in range(nh):
@@ -109,11 +109,13 @@ def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
         s = jnp.sum(p, axis=1)
         s = jnp.where(s > 0, s, 1.0)
         p = p / s[:, None]
+        # batched-contraction einsums do not lower in Mosaic — the
+        # weighted reduce runs as broadcast-mult + middle-axis sum
         outs.append(
-            jnp.einsum(
-                "vk,vkf->vf", p.astype(tab.dtype),
-                seg[..., h * fh : (h + 1) * fh],
-                preferred_element_type=jnp.float32,
+            jnp.sum(
+                p[..., None]
+                * seg[..., h * fh : (h + 1) * fh].astype(jnp.float32),
+                axis=1,
             )
         )
         ms.append(m)
@@ -204,7 +206,7 @@ def _bwd1_kernel(blocks_ref, locals_ref, w_ref, aux_ref, xx_hbm,
     locals_ = locals_ref[0]                       # (r, k)
     w = w_ref[0]                                  # (r, k)
     aux = aux_ref[0]                              # (r, a_pad)
-    seg = jnp.take(tab, locals_.reshape(-1), axis=0).reshape(r, k, f_pad)
+    seg = _vmem_gather(tab, locals_.reshape(-1)).reshape(r, k, f_pad)
 
     outs = []
     for h in range(nh):
@@ -215,9 +217,10 @@ def _bwd1_kernel(blocks_ref, locals_ref, w_ref, aux_ref, xx_hbm,
         z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
         p = jnp.where(w != 0, jnp.exp(z - m_h) / s_h, 0.0)
         do = aux[:, h * fh : (h + 1) * fh].astype(jnp.float32)
-        dp = jnp.einsum(
-            "vkf,vf->vk", seg[..., h * fh : (h + 1) * fh].astype(jnp.float32),
-            do, preferred_element_type=jnp.float32,
+        dp = jnp.sum(
+            seg[..., h * fh : (h + 1) * fh].astype(jnp.float32)
+            * do[:, None, :],
+            axis=-1,
         )
         lr = jnp.where(zpre > 0, 1.0, slope)
         outs.append(jnp.sum(p * dp, axis=1))           # sds
@@ -303,7 +306,7 @@ def _bwd2_kernel(blocks_ref, locals_ref, w_ref, aux_ref, wtab_hbm,
     locals_ = locals_ref[0]                       # (r, k)
     w = w_ref[0]                                  # (r, k)
     aux = aux_ref[0]                              # (r, a_pad) [x | vl]
-    seg = jnp.take(tab, locals_.reshape(-1), axis=0).reshape(r, k, f_pad)
+    seg = _vmem_gather(tab, locals_.reshape(-1)).reshape(r, k, f_pad)
 
     dx_h, dvl_h = [], []
     for h in range(nh):
@@ -317,12 +320,10 @@ def _bwd2_kernel(blocks_ref, locals_ref, w_ref, aux_ref, wtab_hbm,
         zpre = vl_c + vr_g
         z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
         p = jnp.where(w != 0, jnp.exp(z - m_g) / s_g, 0.0)
-        dp = jnp.einsum("vkf,vf->vk", do, x_c,
-                        preferred_element_type=jnp.float32)
+        dp = jnp.sum(do * x_c[:, None, :], axis=-1)
         ds = p * (dp - sds_g)
         dz = ds * jnp.where(zpre > 0, 1.0, slope)
-        dx_h.append(jnp.einsum("vk,vkf->vf", p, do,
-                               preferred_element_type=jnp.float32))
+        dx_h.append(jnp.sum(p[..., None] * do, axis=1))
         dvl_h.append(jnp.sum(dz, axis=1)[:, None])
     dx = jnp.concatenate(dx_h, axis=1) if nh > 1 else dx_h[0]
     dvl = jnp.concatenate(dvl_h, axis=1) if nh > 1 else dvl_h[0]

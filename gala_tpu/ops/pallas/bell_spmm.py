@@ -39,6 +39,31 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 8          # table rows per DMA descriptor (8-sublane aligned)
 
 
+def _vmem_gather(tab, flat_idx):
+    """rows = tab[flat_idx] inside a Mosaic kernel.
+
+    Mosaic's dynamic gather (take_along_axis) requires indices shaped
+    like the table — `jnp.take` / advanced indexing do NOT lower
+    ("Shape mismatch in input, indices and output", probed via
+    device-less `.lower(lowering_platforms=('tpu',))`).  So the rk rows
+    gather in ceil(rk/u8) table-shaped passes with lane-broadcast
+    indices.  rk and u8 are both multiples of 8, keeping every slice
+    sublane-aligned."""
+    u8, f = tab.shape
+    rk = flat_idx.shape[0]
+    outs = []
+    for off in range(0, rk, u8):
+        m = min(u8, rk - off)
+        idx = flat_idx[off : off + m]
+        if m < u8:
+            idx = jnp.concatenate([idx, jnp.zeros((u8 - m,), idx.dtype)])
+        g = jnp.take_along_axis(
+            tab, jnp.broadcast_to(idx[:, None], (u8, f)), axis=0
+        )
+        outs.append(g if m == u8 else g[:m])
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int):
     """Host planner for one k-wide segment.
 
@@ -117,9 +142,10 @@ def _kernel(blocks_ref, locals_ref, vals_ref, x_hbm, out_ref,
     vals = vals_ref[0]                           # (R, k)
     tab = staged[pid % 2]                        # (U*BLK, f)
     if use_gather:
-        seg = jnp.take(tab, locals_.reshape(-1), axis=0).reshape(r, k, f)
-        out = jnp.einsum(
-            "vk,vkf->vf", vals, seg, preferred_element_type=jnp.float32
+        seg = _vmem_gather(tab, locals_.reshape(-1)).reshape(r, k, f)
+        out = jnp.sum(
+            vals[..., None].astype(jnp.float32) * seg.astype(jnp.float32),
+            axis=1,
         )
     else:
         u8 = u * BLK

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gala_tpu.ops.pallas.bell_spmm import BLK
+from gala_tpu.ops.pallas.bell_spmm import BLK, _vmem_gather
 
 
 def _plan_side(ids2: np.ndarray):
@@ -101,7 +101,6 @@ def _kernel(scalars_ref, a_loc_ref, b_loc_ref, a_hbm, b_hbm, out_ref,
     double-buffers across grid steps like bell_spmm."""
     pid = pl.program_id(0)
     n_chunks = pl.num_programs(0)
-    ec = a_loc_ref.shape[1]
 
     def issue_chunk(c, slot):
         def ia(i, _):
@@ -145,11 +144,11 @@ def _kernel(scalars_ref, a_loc_ref, b_loc_ref, a_hbm, b_hbm, out_ref,
 
     wait_chunk(pid % 2)
 
-    a_rows = jnp.take(a_stage[pid % 2], a_loc_ref[0], axis=0)   # (Ec, f)
-    b_rows = jnp.take(b_stage[pid % 2], b_loc_ref[0], axis=0)
+    a_rows = _vmem_gather(a_stage[pid % 2], a_loc_ref[0, 0])    # (Ec, f)
+    b_rows = _vmem_gather(b_stage[pid % 2], b_loc_ref[0, 0])
     dots = jnp.sum(a_rows.astype(jnp.float32) * b_rows.astype(jnp.float32),
                    axis=1)
-    out_ref[...] = dots[None, :].astype(out_ref.dtype)
+    out_ref[...] = dots[None, None, :].astype(out_ref.dtype)
 
 
 def sddmm_planned(plan: SddmmPlan, a, b, interpret: bool = False):
@@ -175,12 +174,14 @@ def sddmm_planned(plan: SddmmPlan, a, b, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(plan.c_chunks,),
         in_specs=[
-            pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
-            pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
+            # (C, 1, Ec): a block's last two dims (1, Ec) equal the
+            # array's — Mosaic's divisible-by-(8,128)-or-equal rule
+            pl.BlockSpec((1, 1, plan.ec), lambda c, s: (c, 0, 0)),
+            pl.BlockSpec((1, 1, plan.ec), lambda c, s: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, plan.ec), lambda c, s: (c, 0)),
+        out_specs=pl.BlockSpec((1, 1, plan.ec), lambda c, s: (c, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, plan.ua * BLK, f), a.dtype),
             pltpu.VMEM((2, plan.ub * BLK, f), b.dtype),
@@ -191,9 +192,16 @@ def sddmm_planned(plan: SddmmPlan, a, b, interpret: bool = False):
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.c_chunks, plan.ec), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.c_chunks, 1, plan.ec), jnp.float32
+        ),
         interpret=interpret,
-    )(scalars, plan.a_locals, plan.b_locals, a, b)
+    )(
+        scalars,
+        plan.a_locals.reshape(plan.c_chunks, 1, plan.ec),
+        plan.b_locals.reshape(plan.c_chunks, 1, plan.ec),
+        a, b,
+    )
     return out.reshape(-1)[: plan.e_real]
 
 

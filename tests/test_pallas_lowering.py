@@ -1,0 +1,83 @@
+"""Device-less Mosaic lowering checks for every Pallas kernel.
+
+`jax.jit(f).trace(...).lower(lowering_platforms=("tpu",))` runs the
+full Pallas->Mosaic lowering pipeline without a TPU attached, catching
+in-kernel ops Mosaic rejects (e.g. `jnp.take` / advanced indexing —
+"Shape mismatch in input, indices and output" — and batched-contraction
+einsums) that interpret-mode tests cannot see.  This is the strongest
+chip-free guarantee that the kernels will compile on real hardware.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gala_tpu.ops.pallas.bell_spmm import bell_spmm_planned, make_plan
+
+
+def _lower(fn, *args):
+    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+@pytest.fixture(scope="module")
+def plan_and_table():
+    rng = np.random.default_rng(0)
+    n, nb, k = 4096, 2048, 8
+    cols = rng.integers(0, n, nb * k).astype(np.int32)
+    plan = make_plan(cols, k, rows_per_chunk=256)
+    xx = jnp.zeros((max(n, plan.n_need), 128), jnp.float32)
+    return plan, xx, nb, k
+
+
+@pytest.mark.parametrize("use_gather", [True, False],
+                         ids=["gather", "one-hot"])
+def test_bell_spmm_lowers(plan_and_table, use_gather):
+    plan, xx, nb, k = plan_and_table
+    vals = jnp.ones((nb, k), jnp.float32)
+    _lower(
+        lambda x, v: bell_spmm_planned(plan, x, v, use_gather=use_gather),
+        xx, vals,
+    )
+
+
+@pytest.mark.parametrize("nh", [1, 4])
+def test_attn_kernels_lower(plan_and_table, nh):
+    from gala_tpu.ops.pallas.attn_bell import (
+        attn_bwd1_planned, attn_bwd2_planned, attn_fwd_planned,
+    )
+
+    plan, xx, nb, k = plan_and_table
+    hf, slope = 32, 0.2
+    w = jnp.ones((nb, k), jnp.float32)
+    vr = jnp.zeros((nb, nh), jnp.float32)
+    _lower(
+        lambda x, w, vr: attn_fwd_planned(plan, x, w, vr, hf, nh, slope)[0],
+        xx, w, vr,
+    )
+    do = jnp.zeros((nb, hf), jnp.float32)
+    m = jnp.zeros((nb, nh), jnp.float32)
+    s = jnp.ones((nb, nh), jnp.float32)
+    _lower(
+        lambda x, w, vr, do, m, s: attn_bwd1_planned(
+            plan, x, w, vr, do, m, s, hf, nh, slope)[0],
+        xx, w, vr, do, m, s,
+    )
+    x_rows = jnp.zeros((nb, hf), jnp.float32)
+    vl_rows = jnp.zeros((nb, nh), jnp.float32)
+    _lower(
+        lambda wt, w, xr, vl: attn_bwd2_planned(
+            plan, wt, w, xr, vl, hf, nh, slope),
+        xx, w, x_rows, vl_rows,
+    )
+
+
+def test_sddmm_lowers():
+    from gala_tpu.ops.pallas.sddmm import make_sddmm_plan, sddmm_planned
+
+    rng = np.random.default_rng(1)
+    n, e = 4096, 16384
+    dst = rng.integers(0, n, e).astype(np.int32)
+    src = rng.integers(0, n, e).astype(np.int32)
+    plan = make_sddmm_plan(dst, src, 4096)
+    a = jnp.zeros((max(n, plan.a_need, plan.b_need), 128), jnp.float32)
+    _lower(lambda a, b: sddmm_planned(plan, a, b), a, a)
