@@ -71,6 +71,38 @@ def test_attn_kernels_lower(plan_and_table, nh):
     )
 
 
+@pytest.mark.parametrize("model", ["gcn", "gat"])
+def test_compiled_pallas_bell_step_lowers(model, monkeypatch):
+    """Integration: the full compiled forward+backward step with
+    strategy='pallas_bell' (plans forced live via _MIN_PLAN_SLOTS)
+    lowers for the TPU platform — pallas_call composed under the real
+    program (grad, multi-segment mix, out-index assembly)."""
+    import gala_tpu
+    import gala_tpu.ops.pallas.bell_spmm as pb
+    from __graft_entry__ import GAT_DSL, GCN_DSL
+
+    monkeypatch.setattr(pb, "_MIN_PLAN_SLOTS", 0)
+    cm = gala_tpu.compile_source(
+        GCN_DSL if model == "gcn" else GAT_DSL,
+        mode="inference", scale=0.01, strategy="pallas_bell",
+    )
+    params = cm.make_params(seed=0)
+    graphs = cm.full_graphs
+    if model == "gcn":
+        assert any(
+            p is not None for p in (graphs[0].bell.pallas_plans or ())
+        )
+    else:
+        assert any(
+            p is not None for p in (graphs[0].attn.fwd.pallas_plans or ())
+        )
+
+    def loss(params, x):
+        return jnp.sum(cm.forward(params, graphs, x) ** 2)
+
+    _lower(jax.value_and_grad(loss), params, cm.x)
+
+
 def test_sddmm_lowers():
     from gala_tpu.ops.pallas.sddmm import make_sddmm_plan, sddmm_planned
 
