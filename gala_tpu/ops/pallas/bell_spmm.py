@@ -232,7 +232,11 @@ def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
     staging cannot fit VMEM) — the executor mixes paths per segment."""
     from gala_tpu.data.ell import _segments
 
-    budget_rows = int(8 << 20) // (2 * max(f_pad, 128) * itemsize)
+    # budget per staged row: 2 staging slots at the table dtype PLUS the
+    # transient (u8, f_pad) int32 index matrix each _vmem_gather pass
+    # broadcasts (Mosaic's take_along_axis needs table-shaped indices)
+    row_bytes = 2 * max(f_pad, 128) * itemsize + max(f_pad, 128) * 4
+    budget_rows = int(8 << 20) // row_bytes
     budget_rows = max(min(budget_rows, _MAX_STAGED_ROWS), BLK)
     plans = []
     for k, nb, off in _segments(hb):

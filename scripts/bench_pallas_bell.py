@@ -125,10 +125,12 @@ def main():
         print(f"xla attn:     {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
         itemsize = jnp.dtype(dt).itemsize
         # budget staging for the WIDEST table any attention pass gathers
-        # (backward pass-2 stages the hf+4H-wide destination table)
+        # (backward pass-2 stages the hf+4H-wide destination table);
+        # per-row bytes include the table-shaped int32 index matrix the
+        # in-kernel gather passes broadcast
         wt_budget = ((hf + 4 * nh + 127) // 128) * 128
-        budget_rows = max(
-            (8 << 20) // (2 * max(f_pad, wt_budget) * itemsize), 8)
+        fb = max(f_pad, wt_budget)
+        budget_rows = max((8 << 20) // (2 * fb * itemsize + fb * 4), 8)
         plan = make_plan(cols, k, rows_per_chunk=args.rows_per_chunk,
                          max_staged_rows=budget_rows,
                          f_budget=max(f_pad, wt_budget))
