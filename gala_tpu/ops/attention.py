@@ -327,7 +327,8 @@ class AttnBell:
             f_pad = ((pallas_feat + 127) // 128) * 128
 
             def _plans(h):
-                p = list(build_segment_plans(h, f_pad=f_pad))
+                p = list(build_segment_plans(h, f_pad=f_pad,
+                                             chunk_slots=chunk_slots))
                 if h.n_big:
                     p[-1] = None
                 return tuple(p)

@@ -354,7 +354,8 @@ class Graph:
                 # budget VMEM chunk sizes for the widest feature matrix
                 # this graph will aggregate (pallas_feat, physical lanes)
                 return build_segment_plans(
-                    hb_side, f_pad=((pallas_feat + 127) // 128) * 128
+                    hb_side, f_pad=((pallas_feat + 127) // 128) * 128,
+                    chunk_slots=chunk_slots,
                 )
 
             hb = build_binned_ell(g, phantom_col=c)

@@ -225,7 +225,7 @@ _SEG_VMEM_BYTES = 4 << 20
 
 
 def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
-                        rows_per_chunk: int = 256):
+                        rows_per_chunk: int = 256, chunk_slots: int = 0):
     """Per-segment BellPlans for a HostBinnedEll, in _bell_raw's segment
     order (degree-class bins, then the hub block).  Entries are None for
     segments where the fused kernel should not run (too few slots, or
@@ -246,9 +246,15 @@ def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
         # wide-k segments shrink r so the (r, k, f_pad) in-VMEM gathered
         # segment stays within budget
         r_seg = max(_SEG_VMEM_BYTES // (k * max(f_pad, 128) * itemsize), 8)
+        # the DIR col_tile directive drives the kernels' chunk
+        # granularity too (same schedule surface as the XLA paths);
+        # rounded to the 8-sublane grain make_plan needs
+        r_dir = rows_per_chunk
+        if chunk_slots:
+            r_dir = max((chunk_slots // k) // 8 * 8, 8)
         cols = hb.flat_cols[off : off + nb * k]
         plans.append(
-            make_plan(cols, k, min(rows_per_chunk, r_seg),
+            make_plan(cols, k, min(r_dir, r_seg),
                       max_staged_rows=budget_rows,
                       f_budget=max(f_pad, 128))
         )
