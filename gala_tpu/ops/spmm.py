@@ -177,21 +177,24 @@ def _spmm_ell(n_out, c_out, cols, vals, vrow, t_cols, t_vals, t_vrow, x):
 
 def _spmm_ell_fwd(n_out, c_out, cols, vals, vrow, t_cols, t_vals, t_vrow, x):
     out = _ell_raw(cols, vals, vrow, x, n_out)
-    return out, (t_cols, t_vals, t_vrow)
+    # forward-side arrays ride the residuals ONLY to shape their zero
+    # cotangents: the two ELL layouts inflate differently (V != V_t on
+    # degree-asymmetric graphs, e.g. Products), so transpose-side zeros
+    # would be the wrong shape.  No memory cost — they alias the Graph's
+    # live buffers.
+    return out, (cols, vals, vrow, t_cols, t_vals, t_vrow)
 
 
 def _spmm_ell_bwd(n_out, c_out, res, dz):
-    t_cols, t_vals, t_vrow = res
+    cols, vals, vrow, t_cols, t_vals, t_vrow = res
     dx = _ell_raw(t_cols, t_vals, t_vrow, dz, c_out)
     return (
-        _float0_like(t_cols), jnp.zeros_like(t_vals), _float0_like(t_vrow),
+        _float0_like(cols), jnp.zeros_like(vals), _float0_like(vrow),
         _float0_like(t_cols), jnp.zeros_like(t_vals), _float0_like(t_vrow),
         dx,
     )
 
 
-# bwd returns cotangents for (cols, vals, vrow, t_cols, t_vals, t_vrow, x);
-# shapes of cols/t_cols etc. are identical so reusing residuals is safe
 _spmm_ell.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)
 
 
@@ -217,16 +220,20 @@ def _spmm_ev_ell_fwd(
     src, dst, evals, x,
 ):
     out = _ell_raw(cols, _ev_slots(evals, perm, mask), vrow, x, n_out)
-    return out, (t_cols, t_vrow, t_perm, t_mask, src, dst, evals, x)
+    # forward-side layout arrays in the residuals shape their zero
+    # cotangents (V != V_t on degree-asymmetric graphs — see _spmm_ell)
+    return out, (cols, vrow, perm, mask,
+                 t_cols, t_vrow, t_perm, t_mask, src, dst, evals, x)
 
 
 def _spmm_ev_ell_bwd(n_out, c_out, res, dz):
-    t_cols, t_vrow, t_perm, t_mask, src, dst, evals, x = res
+    (cols, vrow, perm, mask,
+     t_cols, t_vrow, t_perm, t_mask, src, dst, evals, x) = res
     dx = _ell_raw(t_cols, _ev_slots(evals, t_perm, t_mask), t_vrow, dz, c_out)
     devals = sddmm_edges(src, dst, x, dz)
     z = _float0_like
     return (
-        z(t_cols), z(t_vrow), z(t_perm), jnp.zeros_like(t_mask),
+        z(cols), z(vrow), z(perm), jnp.zeros_like(mask),
         z(t_cols), z(t_vrow), z(t_perm), jnp.zeros_like(t_mask),
         z(src), z(dst), devals, dx,
     )

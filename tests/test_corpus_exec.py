@@ -16,10 +16,16 @@ import gala_tpu
 CORPUS = "/root/reference/tests/GALA-DSL"
 
 REPRESENTATIVES = [
-    "gcn/Cora/a100.txt",
+    # the full a100 model x dataset matrix (24 programs) ...
+    *(
+        f"{m}/{d}/a100.txt"
+        for m in ("gcn", "gat", "gin", "sage")
+        for d in ("Cora", "Pubmed", "CoraFull", "Reddit", "Arxiv", "Products")
+    ),
+    # ... one h100 per family (same programs, different hand schedule) ...
     "gcn/Reddit/h100.txt",
-    "gat/Pubmed/a100.txt",
-    "gin/Arxiv/a100.txt",
+    "gat/Pubmed/h100.txt",
+    "gin/Arxiv/h100.txt",
     "sage/CoraFull/h100.txt",
     "ablations/sampling/data/Reddit.txt",
     "ablations/sampling/dynamic/Reddit.txt",

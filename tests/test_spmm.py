@@ -259,6 +259,39 @@ def test_scan_chunked_bell_matches(monkeypatch):
     np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-4, atol=1e-4)
 
 
+def test_ell_grads_degree_asymmetric():
+    """ELL forward/transpose layouts inflate to DIFFERENT virtual-row
+    counts when in/out degree distributions differ (e.g. Products) —
+    the custom-VJP zero cotangents must use forward-side shapes
+    (regression: bwd returned transpose-shaped zeros and failed
+    'bwd rule must produce an output with the same type')."""
+    import jax
+    import jax.numpy as jnp
+
+    import gala_tpu.ops.spmm as S
+    from gala_tpu.data.csr import coo_to_csr
+    from gala_tpu.ops.graph import Graph
+
+    rng = np.random.default_rng(29)
+    n, e = 400, 6000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, 30, e)  # skewed in-degrees: hubs on one side
+    g_host = coo_to_csr(src, dst, rng.random(e).astype(np.float32), n, n)
+    g = Graph.from_host(g_host, strategy="ell", edge_vals=True)
+    assert g.ell_cols.shape[0] != g.t_ell_cols.shape[0], (
+        "fixture must exercise asymmetric inflation"
+    )
+    x = jnp.asarray(rng.standard_normal((g.c_pad, 16)).astype(np.float32))
+    ev = jnp.asarray(rng.random(g.e_pad).astype(np.float32))
+    gx, ge = jax.grad(
+        lambda x, ev: jnp.sum(S.spmm_ev(g, ev, x) ** 2), argnums=(0, 1)
+    )(x, ev)
+    assert np.all(np.isfinite(np.asarray(gx)))
+    assert np.all(np.isfinite(np.asarray(ge)))
+    gx2 = jax.grad(lambda x: jnp.sum(S.spmm(g, x) ** 2))(x)
+    assert np.all(np.isfinite(np.asarray(gx2)))
+
+
 def test_scan_chunked_ell_matches(monkeypatch):
     """Memory-bounded ELL aggregation (weighted / sparse-rewrite path):
     forcing the rolled scan via a tiny gathered-buffer budget must match
