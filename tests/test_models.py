@@ -56,3 +56,26 @@ def test_csv_contract(setup):
     parts = res.csv(print_accuracy=True).split(",")
     assert len(parts) == 3
     assert float(parts[0]) >= 0 and float(parts[1]) >= float(parts[0])
+
+
+def test_compiled_training_with_forced_chunking(monkeypatch):
+    """Integration: the rolled-scan chunked kernels (attention sweeps,
+    bell reduce, ELL, SDDMM) run INSIDE the epoch-fused lax.scan
+    training loop (nested scans) — compile a GCN and a GAT end-to-end
+    with tiny memory budgets and train a few epochs."""
+    import gala_tpu
+    import gala_tpu.ops.attention as A
+    import gala_tpu.ops.spmm as S
+    from __graft_entry__ import GAT_DSL, GCN_DSL
+
+    monkeypatch.setattr(S, "_BELL_CHUNK_ELEMS", 1 << 14)
+    monkeypatch.setattr(S, "_BELL_FLAT_ELEMS", 1 << 14)
+    monkeypatch.setattr(S, "_SCAN_MIN_CHUNKS", 2)
+    monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 1 << 13)
+    monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 1 << 13)
+    monkeypatch.setattr(A, "_SCAN_MIN_CHUNKS", 2)
+    for src in (GCN_DSL, GAT_DSL):
+        cm = gala_tpu.compile_source(src, mode="train", scale=0.01)
+        res = cm.train(iters=6)
+        assert np.isfinite(res.losses[-1])
+        assert np.isfinite(res.total_time)
