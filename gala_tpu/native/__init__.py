@@ -80,6 +80,15 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.plan_blocks_count_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.plan_blocks_fill_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.omp_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -166,6 +175,33 @@ def grow_mask_native(src, dst, mask) -> np.ndarray | None:
         _ptr(mask_in, ctypes.c_uint8), _ptr(mask_out, ctypes.c_uint8),
     )
     return mask_out.astype(bool)
+
+
+def plan_blocks_native(cols2: np.ndarray):
+    """Per-chunk 8-row-block plan for the Pallas bell kernels (OpenMP).
+
+    cols2: (C, R, k) int source-row ids (already chunk-padded).  Returns
+    (blocks (C, U) int32, locals (C, R, k) int32, U) matching
+    bell_spmm.plan_chunks' pure-NumPy plan — or None without native.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    c_chunks = cols2.shape[0]
+    rk = int(np.prod(cols2.shape[1:]))
+    flat = np.ascontiguousarray(cols2.reshape(c_chunks, rk), dtype=np.int32)
+    counts = np.empty(c_chunks, np.int32)
+    lib.plan_blocks_count_i32(
+        c_chunks, rk, _ptr(flat, ctypes.c_int32), _ptr(counts, ctypes.c_int32)
+    )
+    u = int(counts.max())
+    blocks = np.empty((c_chunks, u), np.int32)
+    locals_ = np.empty((c_chunks, rk), np.int32)
+    lib.plan_blocks_fill_i32(
+        c_chunks, rk, u, _ptr(flat, ctypes.c_int32),
+        _ptr(blocks, ctypes.c_int32), _ptr(locals_, ctypes.c_int32),
+    )
+    return blocks, locals_.reshape(cols2.shape), u
 
 
 def stage_dedup_native(cols, bounds):

@@ -79,9 +79,16 @@ def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int):
     nb_pad = c_chunks * r
     cols2 = np.zeros((nb_pad, k), np.int64)
     cols2[:nb] = cols.reshape(nb, k)
+    cols3 = cols2.reshape(c_chunks, r, k)
+    from gala_tpu import native
+
+    planned = native.plan_blocks_native(cols3)
+    if planned is not None:
+        blocks, locals_, u = planned
+        return blocks, locals_, nb, c_chunks, u
     blocks_l, locals_l = [], []
     for c in range(c_chunks):
-        ids = cols2[c * r : (c + 1) * r]
+        ids = cols3[c]
         blk = np.unique(ids // BLK)
         loc = np.searchsorted(blk, ids // BLK) * BLK + ids % BLK
         blocks_l.append(blk)

@@ -424,3 +424,39 @@ def test_stage_dedup_native_matches_numpy():
         u = uniq_buf[b0 : b0 + int(counts[ci])]
         np.testing.assert_array_equal(u, u_ref)
         np.testing.assert_array_equal(local[b0:b1], inv_ref)
+
+
+def test_plan_blocks_native_matches_numpy():
+    """Native OpenMP block planner == the pure-NumPy plan in plan_chunks.
+
+    Covers non-dividing chunk counts (zero-padded tail) and the U-pad
+    (chunks with fewer unique blocks repeat block 0)."""
+    from gala_tpu import native
+    from gala_tpu.ops.pallas.bell_spmm import BLK
+
+    if not native.available():
+        import pytest as _pt
+        _pt.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    for nb, k, r in [(1000, 16, 128), (517, 8, 64), (63, 32, 64)]:
+        cols = rng.integers(0, 4096, nb * k).astype(np.int32)
+        c_chunks = -(-nb // r)
+        cols2 = np.zeros((c_chunks * r, k), np.int64)
+        cols2[:nb] = cols.reshape(nb, k)
+        cols3 = cols2.reshape(c_chunks, r, k)
+        blocks, locals_, u = native.plan_blocks_native(cols3)
+        # reference plan
+        blk_l, loc_l = [], []
+        for c in range(c_chunks):
+            ids = cols3[c]
+            b = np.unique(ids // BLK)
+            blk_l.append(b)
+            loc_l.append(np.searchsorted(b, ids // BLK) * BLK + ids % BLK)
+        u_ref = max(b.shape[0] for b in blk_l)
+        assert u == u_ref
+        for c, b in enumerate(blk_l):
+            np.testing.assert_array_equal(blocks[c, : b.shape[0]], b)
+            np.testing.assert_array_equal(
+                blocks[c, b.shape[0]:], np.full(u - b.shape[0], b[0])
+            )
+            np.testing.assert_array_equal(locals_[c], loc_l[c])
