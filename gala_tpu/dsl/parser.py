@@ -173,9 +173,23 @@ def _classify_layer_stmt(lhs: str, rhs: str, ops: list[LayerOp], spec: ModelSpec
     raise DSLSyntaxError(f"unrecognized layer statement: {lhs} = {rhs}")
 
 
+def _balanced_call(s: str) -> bool:
+    """True when parens close properly and the statement ends on ')'."""
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and s.rstrip().endswith(")")
+
+
 def parse_source(source: str) -> ModelSpec:
     spec = ModelSpec()
     src = _strip_comments(source)
+    block_names: set[str] = set()  # layer/model names, for init statements
 
     for stmt in _split_statements(src):
         # ---- block definitions -------------------------------------- #
@@ -185,6 +199,7 @@ def parse_source(source: str) -> ModelSpec:
             stmt, re.S,
         )
         if blk:
+            block_names.add(blk.group("name"))
             body = blk.group("body")
             if blk.group("kind") == "layer":
                 for s in _split_statements(body):
@@ -298,8 +313,19 @@ def parse_source(source: str) -> ModelSpec:
                 # normalization value stays -1 (ModelConfig default)
                 spec.normalization_value = -1.0
             continue
-        if "get_edge_aggregate" in s or ".eval(" in s or re.match(r"^\w+=\w+\(", s):
+        if "get_edge_aggregate" in s or ".eval(" in s:
             continue
+        # model init: `m1 = M1(G, dsl.non_ln.ReLU)` — the callee must be a
+        # block defined above (reference: bison resolves the ident against
+        # the model table), and the call must close its parens; anything
+        # else here is a malformed or unknown statement, not a no-op.
+        m = re.match(r"^\w+=(?P<callee>\w+)\(", s)
+        if m and m.group("callee") in block_names and _balanced_call(s):
+            continue
+        if "load_dataset" in s:
+            raise DSLSyntaxError(f"malformed load_dataset statement: {stmt!r}")
+        if m and m.group("callee") in block_names:
+            raise DSLSyntaxError(f"unbalanced model init statement: {stmt!r}")
         raise DSLSyntaxError(f"unrecognized statement: {stmt!r}")
 
     if spec.output_sizes and spec.output_sizes[-1] == 0:
