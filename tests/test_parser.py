@@ -158,3 +158,39 @@ def test_full_reference_corpus_compiles_through_passes():
             nodes = prog.all_nodes()
             assert any(n.op in agg_ops for n in nodes), (f, mode)
             assert prog.loop is not None and prog.loop.iters > 0, (f, mode)
+
+
+def test_malformed_statements_raise():
+    """Malformed or unknown top-level statements must raise a
+    DSLSyntaxError naming the statement — not silently compile an
+    empty spec (the generic model-init ignore used to swallow them)."""
+    from gala_tpu.dsl.parser import DSLSyntaxError
+
+    cases = {
+        'G = load_dataset(;': "load_dataset",
+        "x = nonsense_fn(1);": "unrecognized",
+        # M1 call without a defined M1 block
+        'G = load_dataset("Cora"); m1 = M1(G);': "unrecognized",
+    }
+    for src, frag in cases.items():
+        with pytest.raises(DSLSyntaxError, match=frag):
+            parse_source(src)
+
+
+def test_model_init_with_defined_block_is_accepted():
+    src = textwrap.dedent("""
+        G = load_dataset("Cora");
+        aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);
+        L1 = layer(G, hs, nonln_fn, aggregate_fn) {
+            res = aggregate_fn(G.graphs, G.node.feats);
+            G.node.feats = nonln_fn(res);
+        }
+        M1 = model(G, non_ln) {
+            l1 = L1(G, 32, non_ln, aggrFn);
+        }
+        m1 = M1(G, dsl.non_ln.ReLU);
+        m1.train(iters=5, validation_step=5);
+        res = m1.eval();
+    """)
+    spec = parse_source(src)
+    assert spec.num_layers == 1
