@@ -41,6 +41,28 @@ def _enable_compile_cache() -> None:
         "GALA_TPU_COMPILE_CACHE",
         _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
     )
+    # CPU AOT entries are host-ISA-specific: loading one compiled on a
+    # different machine warns "could lead to execution errors such as
+    # SIGILL" (seen live after a container host move).  CPU-pinned runs
+    # (JAX_PLATFORMS/JAX_PLATFORM_NAME=cpu: tests, bench cpu-fallback,
+    # dryrun subprocess) therefore cache under a host-fingerprinted
+    # subdir; TPU entries stay at top level — they target the v5e, are
+    # host-independent, and cost minutes each to recompile.
+    if "cpu" in (
+        _os.environ.get("JAX_PLATFORMS", ""),
+        _os.environ.get("JAX_PLATFORM_NAME", ""),
+    ):
+        import hashlib as _hashlib
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _sig = next(l for l in _f if l.startswith("flags"))
+        except Exception:
+            import platform as _platform
+
+            _sig = _platform.processor() or _platform.machine()
+        _fp = _hashlib.sha1(_sig.encode()).hexdigest()[:10]
+        path = _os.path.join(path, f"cpu-{_fp}")
     try:
         _jax.config.update("jax_compilation_cache_dir", path)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
