@@ -28,10 +28,15 @@ def main(argv=None):
         "driver",
         choices=[
             "inference", "inference_long", "inference_sample",
-            "train", "train_memory",
+            "train", "train_memory", "export", "run_exported",
         ],
     )
-    ap.add_argument("model", help="GALA DSL program (.txt)")
+    ap.add_argument("model", help="GALA DSL program (.txt); artifact dir "
+                                  "for run_exported")
+    ap.add_argument("-o", "--out", default=None,
+                    help="export: artifact output directory")
+    ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"],
+                    help="export: lowering targets baked into the artifact")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--data-root", default=None, help="GALA npy dataset root")
     ap.add_argument("--scale", type=float, default=1.0,
@@ -58,8 +63,22 @@ def main(argv=None):
 
     from gala_tpu.api import compile_file
 
+    if args.driver == "run_exported":
+        # replay a serialized artifact: no parser / IR / passes involved
+        # (the analog of re-running the reference's built ./gala_model)
+        from gala_tpu.export import load_exported
+
+        em = load_exported(args.model)
+        print(em.run(iters=args.iters))
+        return
+
     t0 = time.perf_counter()
-    mode = "train" if args.driver.startswith("train") else "inference"
+    # export serializes the training step: full train pass matrix
+    mode = (
+        "train"
+        if args.driver.startswith("train") or args.driver == "export"
+        else "inference"
+    )
     if args.driver == "inference_long":
         # int64 device arrays require x64 mode (JAX canonicalizes them
         # to int32 otherwise); must happen before any jax op
@@ -90,6 +109,13 @@ def main(argv=None):
         f"(reference prints 'Time taken for GALA compilation')",
         file=sys.stderr,
     )
+    if args.driver == "export":
+        from gala_tpu.export import export_compiled
+
+        out = args.out or (args.model.rsplit(".", 1)[0] + "_exported")
+        export_compiled(cm, out, platforms=tuple(args.platforms))
+        print(out)
+        return
     print(cm.run(iters=args.iters))
 
 
