@@ -128,3 +128,60 @@ def test_cli_export_and_run(tmp_path):
         main(["run_exported", out, "--iters", "12"])
     line = buf.getvalue().strip().splitlines()[-1]
     assert len(line.split(",")) == 2
+
+
+GAT = GCN.replace(
+    'aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);',
+    'aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);\n'
+    'edgeFn = dsl.get_edge_aggregate(fn = dsl.fn.sum);',
+).replace(
+    """L1 = layer(G, hs, nonln_fn, aggregate_fn) {
+    deg = G.graphs.degrees();
+    norm = dsl.fn.pow(deg, -0.5);
+    res = norm * G.node.feats;
+    res = aggregate_fn(G.graphs, res);
+    res = dsl.nn.ffn(res, out=hs);
+    res = norm * res;
+    G.node.feats = nonln_fn(res);
+}""",
+    """L1 = layer(G, hs, nonln_fn, aggregate_fn, edge_fn) {
+    res = dsl.nn.ffn(G.node.feats, out=hs);
+    attnL = dsl.nn.ffn(res, out=1);
+    attnR = dsl.nn.ffn(res, out=1);
+    attn = edge_fn(G, attnL, attnR);
+    G.edges.vals = dsl.fn.softmax(G, attn);
+    res = aggregate_fn(G.graphs, res);
+    G.node.feats = nonln_fn(res);
+}""",
+).replace("l1 = L1(G, 32, non_ln, aggrFn);", "l1 = L1(G, 32, non_ln, aggrFn, edgeFn);")\
+ .replace("l2 = L1(l1, G.labels.size(), null, aggrFn);",
+          "l2 = L1(l1, G.labels.size(), null, aggrFn, edgeFn);")
+
+
+def test_gat_export_roundtrip(tmp_path):
+    """Fused-attention custom_vjp programs survive jax.export (the
+    backward pass is resolved at trace time)."""
+    cm = gala_tpu.compile_source(GAT, mode="train", scale=0.3)
+    d = str(tmp_path / "gat")
+    export_compiled(cm, d, platforms=("cpu", "tpu"))
+    em = load_exported(d)
+    res = em.train(iters=25)
+    assert res.max_accuracy > 0.6, res.max_accuracy
+    assert np.isfinite(res.losses).all()
+
+
+def test_pallas_bell_export_lowers_tpu_only(tmp_path):
+    """pallas_bell programs export for the TPU platform device-lessly —
+    Mosaic custom calls serialize inside the StableHLO artifact (same
+    lowering pipeline tests/test_pallas_lowering.py pins)."""
+    cm = gala_tpu.compile_source(
+        GCN, mode="train", scale=0.3, strategy="pallas_bell"
+    )
+    d = str(tmp_path / "pbell")
+    export_compiled(cm, d, platforms=("tpu",))
+    em = load_exported(d)
+    assert em.manifest["platforms"] == ["tpu"]
+    # CPU cannot run a TPU-only artifact; calling it must raise, not
+    # silently fall back
+    with pytest.raises(Exception):
+        em.forward()
