@@ -327,11 +327,12 @@ class AttnBell:
             f_pad = ((pallas_feat + 127) // 128) * 128
 
             def _plans(h):
-                p = list(build_segment_plans(h, f_pad=f_pad,
-                                             chunk_slots=chunk_slots))
-                if h.n_big:
-                    p[-1] = None
-                return tuple(p)
+                # hub segments plan like any bin: the kernels emit
+                # per-virtual-row partials and the executor merges them
+                # with (n_big)-sized segment ops (fwd: online-softmax
+                # rescale; backward: plain sums)
+                return build_segment_plans(h, f_pad=f_pad,
+                                           chunk_slots=chunk_slots)
 
             plans, plans_t = _plans(hb), _plans(hbt)
 
@@ -549,7 +550,57 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
         off += nb * k
         r0 += nb
         si += 1
-    if b.n_big:
+    hub_plan = (
+        b.pallas_plans[si] if (b.n_big and xx_pallas is not None) else None
+    )
+    if b.n_big and hub_plan is not None:
+        # fused Pallas hub forward: the kernel emits UNNORMALIZED
+        # per-virtual-row partials (acc = sum_k exp(z - m_v) x, raw
+        # rowmax m_v, rowsum s_v); virtual rows of one hub node merge
+        # here with the standard blockwise online-softmax rescaling —
+        # tiny (n_big)-sized segment ops, while the expensive slot
+        # gather + weighted reduce stayed in VMEM
+        from gala_tpu.ops.pallas.attn_bell import attn_fwd_planned
+
+        acc_v, m_v, s_v = attn_fwd_planned(
+            hub_plan, xx_pallas, b.big_vals, vr_bin[r0 + b.big_vrow],
+            hf, nh, slope, interpret=jax.default_backend() != "tpu",
+            normalize=False,
+        )
+        m = jnp.maximum(
+            jax.ops.segment_max(
+                m_v, b.big_vrow, num_segments=b.n_big,
+                indices_are_sorted=True,
+            ),
+            _NEG,
+        )
+        scale = jnp.exp(m_v - m[b.big_vrow])
+        s = jax.ops.segment_sum(
+            s_v * scale, b.big_vrow, num_segments=b.n_big,
+            indices_are_sorted=True,
+        )
+        acc = jax.ops.segment_sum(
+            acc_v * jnp.repeat(scale, fh, axis=1), b.big_vrow,
+            num_segments=b.n_big, indices_are_sorted=True,
+        )
+        s = jnp.where(s > 0, s, 1.0)
+        out_big = (
+            jnp.concatenate(
+                [
+                    (acc[:, h * fh : (h + 1) * fh] / s[:, h : h + 1]).astype(
+                        x.dtype
+                    )
+                    for h in range(nh)
+                ],
+                axis=1,
+            )
+            if nh > 1
+            else (acc / s).astype(x.dtype)
+        )
+        parts.append(out_big)
+        ms.append(jnp.maximum(m, _NEG / 2))
+        ss.append(s)
+    elif b.n_big:
         vb, kb = b.big_vals.shape
 
         def hub_chunk(m, s, acc, seg, wv, vrow):
@@ -768,7 +819,32 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         off += nb * k
         r0 += nb
         si += 1
-    if b.n_big:
+    hub_plan = (
+        b.pallas_plans[si] if (b.n_big and xx_pallas is not None) else None
+    )
+    if b.n_big and hub_plan is not None:
+        # fused Pallas hub pass-1: probabilities recompute in-kernel
+        # from the NODE-level (m, s) broadcast to virtual rows (they are
+        # already global softmax stats), so the per-virtual-row
+        # (sds, A, B) partials just segment-sum per hub node
+        from gala_tpu.ops.pallas.attn_bell import attn_bwd1_planned
+
+        sds_v, a_v, b_v = attn_bwd1_planned(
+            hub_plan, xx_pallas, b.big_vals, vr_bin[r0 + b.big_vrow],
+            dout_bin[r0 + b.big_vrow], m_bin[r0 + b.big_vrow],
+            s_bin[r0 + b.big_vrow], hf, nh, slope,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+        def _seg(v):
+            return jax.ops.segment_sum(
+                v, b.big_vrow, num_segments=b.n_big, indices_are_sorted=True
+            )
+
+        sds_parts.append(_seg(sds_v))
+        a_parts.append(_seg(a_v))
+        b_parts.append(_seg(b_v))
+    elif b.n_big:
         vb, kb = b.big_vals.shape
 
         def hub_bwd_chunk(sds_b, a_b, b_b, seg, wv, vrow):
@@ -897,7 +973,27 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
         off += nb * k
         r0 += nb
         si += 1
-    if t.n_big:
+    hub_plan_t = (
+        t.pallas_plans[si] if (t.n_big and wtab_pallas is not None) else None
+    )
+    if t.n_big and hub_plan_t is not None:
+        # fused Pallas hub pass-2: plain accumulation (no softmax across
+        # the source dim) — per-virtual-row [dx | dvl] partial rows
+        # segment-sum per hub source node
+        from gala_tpu.ops.pallas.attn_bell import attn_bwd2_planned
+
+        dgv = attn_bwd2_planned(
+            hub_plan_t, wtab_pallas, t.big_vals, x_t[r0 + t.big_vrow],
+            vl_t[r0 + t.big_vrow], hf, nh, slope,
+            interpret=jax.default_backend() != "tpu",
+        )
+        parts.append(
+            jax.ops.segment_sum(
+                dgv, t.big_vrow, num_segments=t.n_big,
+                indices_are_sorted=True,
+            )
+        )
+    elif t.n_big:
         vb, kb = t.big_vals.shape
         acc = jnp.zeros((t.n_big, hf + nh), jnp.float32)
         rows_c = _chunk_rows(kb, wt, t.chunk_slots)

@@ -14,10 +14,13 @@ This is the TPU shape of the reference's fused GAT edge-kernel suite
 with edge values as separate kernel launches over edge-sized buffers);
 the slot layout turns all three into one row-local pass.
 
-Hub nodes (deg > 128, cross-virtual-row softmax) and the backward pass
-stay on the XLA online-softmax path — hubs are a tiny fraction of rows,
-and the backward recomputes from node-sized tables by design
-(ops/attention.py module docstring).
+Hub nodes (deg > 128) run the SAME kernels over their virtual rows:
+the forward uses normalize=False to emit unnormalized per-virtual-row
+partials that the executor merges with a blockwise online-softmax
+rescale (tiny (n_big)-sized segment ops); backward pass-1 recomputes
+probabilities from the node-level (m, s) broadcast per virtual row, so
+its partials (and pass-2's [dx | dvl] rows) just segment-sum per node
+(ops/attention.py hub branches).
 
 Semantics mirror ops/attention._head_softmax exactly:
   z    = leaky_relu(vl[src, h] + vr[dst, h]);  masked slots -> -1e30
@@ -88,9 +91,15 @@ def _stage_blocks(blocks_ref, xx_hbm, staged, sems, u):
 
 def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
             out_ref, stats_ref, staged, sems,
-            *, u, k, hf, fh, nh, slope, f_pad, out_pad):
+            *, u, k, hf, fh, nh, slope, f_pad, out_pad, normalize):
     """Grid step c: softmax-attend chunk c from staging slot c%2 while
-    chunk c+1's block DMAs land in slot (c+1)%2."""
+    chunk c+1's block DMAs land in slot (c+1)%2.
+
+    normalize=False computes UNNORMALIZED per-row partials for the hub
+    class (acc = sum_k exp(z - m) * x with raw m = rowmax): virtual rows
+    of one hub node combine afterwards with the standard blockwise
+    online-softmax merge (exp(m_v - M) rescaling) in tiny XLA segment
+    ops — the expensive slot gather + reduce stays in this kernel."""
     r = locals_ref.shape[1]
     tab = _stage_blocks(blocks_ref, xx_hbm, staged, sems, u)
     locals_ = locals_ref[0]                       # (r, k)
@@ -104,11 +113,14 @@ def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
             jnp.float32
         )
         z = jnp.where(w != 0, _lrelu(z, slope), _NEG)
-        m = jnp.maximum(jnp.max(z, axis=1), _NEG / 2)
+        m = jnp.max(z, axis=1)
+        if normalize:
+            m = jnp.maximum(m, _NEG / 2)
         p = jnp.where(w != 0, jnp.exp(z - m[:, None]), 0.0)
         s = jnp.sum(p, axis=1)
-        s = jnp.where(s > 0, s, 1.0)
-        p = p / s[:, None]
+        if normalize:
+            s = jnp.where(s > 0, s, 1.0)
+            p = p / s[:, None]
         # batched-contraction einsums do not lower in Mosaic — the
         # weighted reduce runs as broadcast-mult + middle-axis sum
         outs.append(
@@ -133,12 +145,17 @@ def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
 
 
 def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
-                     slope: float, interpret: bool = False):
+                     slope: float, interpret: bool = False,
+                     normalize: bool = True):
     """Fused attention forward for one pre-planned k-wide bin segment.
 
     xx: (n', f_pad) padded [x | vl] table (f_pad % 128 == 0, rows cover
     plan.n_need); w: (nb, k) slot occupancy; vr_rows: (nb, nh) dst-side
     scores in bin order.  Returns (out (nb, hf), m (nb, nh), s (nb, nh)).
+
+    normalize=False: hub-class mode — per-virtual-row UNNORMALIZED
+    partials (see _kernel); vr_rows must carry the owning node's vr per
+    virtual row and the caller merges rows with exp(m_v - M) rescaling.
     """
     n, f_pad = xx.shape
     assert f_pad % 128 == 0 and n >= plan.n_need, (xx.shape, plan.n_need)
@@ -171,13 +188,18 @@ def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
     )
     kern = functools.partial(
         _kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
-        f_pad=f_pad, out_pad=out_pad,
+        f_pad=f_pad, out_pad=out_pad, normalize=normalize,
     )
     out, stats = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((c_chunks * r, out_pad), xx.dtype),
+            # hub partials stay f32: they are rescaled and summed across
+            # virtual rows after the kernel
+            jax.ShapeDtypeStruct(
+                (c_chunks * r, out_pad),
+                xx.dtype if normalize else jnp.float32,
+            ),
             jax.ShapeDtypeStruct((c_chunks * r, _STATS_LANES), jnp.float32),
         ],
         interpret=interpret,

@@ -248,7 +248,9 @@ def test_pallas_attention_forward_matches(attn_graph, monkeypatch):
     kernels — forward, backward pass-1 (stats on the fwd layout), and
     backward pass-2 (slot grads on the transpose layout) — in interpret
     mode off-TPU; output and grads match the plain path.  Multi-head
-    included; hubs stay XLA on every pass."""
+    included; hub segments run the kernels too (per-virtual-row partials
+    merged by segment ops — the attn_graph hub node covers all three
+    hub paths)."""
     import gala_tpu.ops.attention as A
     import gala_tpu.ops.pallas.bell_spmm as pb
     from gala_tpu.ops.attention import AttnBell
@@ -260,8 +262,8 @@ def test_pallas_attention_forward_matches(attn_graph, monkeypatch):
     assert any(p is not None for p in ab_p.fwd.pallas_plans)
     assert ab_p.t.pallas_plans is not None
     assert any(p is not None for p in ab_p.t.pallas_plans)
-    if ab_p.fwd.n_big:
-        assert ab_p.fwd.pallas_plans[-1] is None  # hub stays XLA
+    assert ab_p.fwd.n_big, "fixture must contain a hub node"
+    assert ab_p.fwd.pallas_plans[-1] is not None  # hub planned too
 
     rng = np.random.default_rng(9)
     for nh in (1, 4):

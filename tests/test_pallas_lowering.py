@@ -54,6 +54,12 @@ def test_attn_kernels_lower(plan_and_table, nh):
         lambda x, w, vr: attn_fwd_planned(plan, x, w, vr, hf, nh, slope)[0],
         xx, w, vr,
     )
+    # hub-class form: unnormalized per-virtual-row partials
+    _lower(
+        lambda x, w, vr: attn_fwd_planned(
+            plan, x, w, vr, hf, nh, slope, normalize=False)[0],
+        xx, w, vr,
+    )
     do = jnp.zeros((nb, hf), jnp.float32)
     m = jnp.zeros((nb, nh), jnp.float32)
     s = jnp.ones((nb, nh), jnp.float32)
