@@ -153,14 +153,14 @@ def shard_compiled(
         mesh=mesh,
         in_specs=(pspec, P("data"), P("data")),
         out_specs=P("data"),
-        check_vma=False,
+        check_vma=True,
     )
     inv = shard_map(
         cm.invariant,
         mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=P("data"),
-        check_vma=False,
+        check_vma=True,
     )
 
     return SpmdCompiled(

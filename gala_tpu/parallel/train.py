@@ -107,7 +107,7 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         mesh=mesh,
         in_specs=(pspecs, graph_spec, P("data"), P("data"), P("data")),
         out_specs=P(),
-        check_vma=False,
+        check_vma=True,
     )
     def local_loss(params, g, x, y, mask):
         logits = local_forward(params, g, x)
@@ -123,7 +123,7 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
         mesh=mesh,
         in_specs=(pspecs, graph_spec, P("data")),
         out_specs=P("data"),
-        check_vma=False,
+        check_vma=True,
     )
     def sharded_fwd(params, g, x):
         return local_forward(params, g, x)
