@@ -122,10 +122,13 @@ def job_fig16(args):
         for model in args.models:
             src = make_dsl(model, dataset, iters=args.iters,
                            layers=args.layers[0], heads=args.heads)
-            cm, res = run_one(src, iters=args.iters, scale=args.scale)
+            cm, res = run_one(src, iters=args.iters, scale=args.scale,
+                              strategy=args.strategy)
             label = model if args.heads <= 1 or model != "gat" else (
                 f"{model}-h{args.heads}"
             )
+            if args.tag:
+                label = f"{label}-{args.tag}"
             append_csv(
                 out, "dataset,model,inference_time,total_time,accuracy",
                 f"{dataset},{label},{res.inference_time},{res.total_time},{res.max_accuracy}",
@@ -270,6 +273,12 @@ def main():
     ap.add_argument("--dtype", default=None, choices=[None, "bf16", "f32"],
                     help="activation dtype (bf16 halves HBM for the "
                          "biggest fractions)")
+    ap.add_argument("--strategy", default="auto",
+                    help="fig16 execution strategy (e.g. pallas_bell for "
+                         "the fused-kernel end-to-end comparison rows)")
+    ap.add_argument("--tag", default="",
+                    help="suffix appended to the fig16 model label so "
+                         "strategy-variant rows stay distinguishable")
     ap.add_argument("--outdir", default="results")
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu); set before "

@@ -42,6 +42,18 @@ timeout 5400 python scripts/evaluate.py --job fig16 --datasets Products --models
 timeout 5400 python scripts/evaluate.py --job fig16 --datasets Arxiv --models gat \
     --layers 3 --heads 8 --iters 30 --outdir results_r2
 
+# 2c. the same GAT/GCN rows with the fused Pallas kernels routed
+#     end-to-end (bins + hubs): direct XLA-vs-Pallas comparison in
+#     results_r2 to decide the auto default
+GALA_PALLAS_AUTO=1 timeout 5400 python scripts/evaluate.py --job fig16 \
+    --datasets Reddit --models gat gcn --scale 0.25 --iters 30 \
+    --strategy pallas_bell --tag pallas --outdir results_r2 \
+    || echo "pallas fig16 Reddit failed" >> results_r2/queue_errors.txt
+GALA_PALLAS_AUTO=1 timeout 5400 python scripts/evaluate.py --job fig16 \
+    --datasets Products --models gat gcn --scale 0.25 --iters 30 \
+    --strategy pallas_bell --tag pallas --outdir results_r2 \
+    || echo "pallas fig16 Products failed" >> results_r2/queue_errors.txt
+
 # 3. table7 with fused dynamic sampling (r1: dynamic 8.8x over none;
 #    scanned (ra,rb) epochs should bring it to ~1.5x)
 timeout 5400 python scripts/evaluate.py --job table7 --datasets Arxiv --iters 30 \
