@@ -1,0 +1,11 @@
+#!/bin/bash
+# Test runner that survives a dead axon tunnel.
+#
+# The axon sitecustomize registers the TPU platform at interpreter
+# start; when the tunnel is dead-HANGING (not failing fast), any jax
+# backend init blocks forever — conftest.py's in-process platform pins
+# cannot help because the env must be clean BEFORE python starts.
+# PALLAS_AXON_POOL_IPS= makes sitecustomize skip axon registration
+# entirely; JAX_PLATFORMS=cpu keeps backend discovery on CPU.
+exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python -m pytest "${@:-tests/ -q}"
