@@ -112,6 +112,13 @@ def is_symmetric(g: HostCSR) -> bool:
     must NOT alias its backward (transpose) graph."""
     if g.n_rows != g.n_cols:
         return False
+    # cheap necessary condition first: A == A^T implies in-degree ==
+    # out-degree per node (O(E) bincounts) — directed graphs reject here
+    # without paying the two O(E log E) argsorts (23s at 46M edges)
+    out_deg = np.bincount(g.dst, minlength=g.n_rows)
+    in_deg = np.bincount(g.src, minlength=g.n_rows)
+    if not np.array_equal(out_deg, in_deg):
+        return False
     key_fwd = g.dst.astype(np.int64) * g.n_cols + g.src
     key_bwd = g.src.astype(np.int64) * g.n_rows + g.dst
     of, ob = np.argsort(key_fwd), np.argsort(key_bwd)

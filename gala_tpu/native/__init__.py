@@ -177,13 +177,10 @@ def grow_mask_native(src, dst, mask) -> np.ndarray | None:
     return mask_out.astype(bool)
 
 
-def plan_blocks_native(cols2: np.ndarray):
-    """Per-chunk 8-row-block plan for the Pallas bell kernels (OpenMP).
-
-    cols2: (C, R, k) int source-row ids (already chunk-padded).  Returns
-    (blocks (C, U) int32, locals (C, R, k) int32, U) matching
-    bell_spmm.plan_chunks' pure-NumPy plan — or None without native.
-    """
+def plan_blocks_count_native(cols2: np.ndarray):
+    """Count-only pass of the block planner: per-chunk unique-8-row-block
+    counts (OpenMP) — the cheap probe make_plan's VMEM-budget loop runs
+    before paying for the fill.  None without native."""
     lib = _load()
     if lib is None:
         return None
@@ -194,7 +191,31 @@ def plan_blocks_native(cols2: np.ndarray):
     lib.plan_blocks_count_i32(
         c_chunks, rk, _ptr(flat, ctypes.c_int32), _ptr(counts, ctypes.c_int32)
     )
-    u = int(counts.max())
+    return counts
+
+
+def plan_blocks_native(cols2: np.ndarray, u: int | None = None):
+    """Per-chunk 8-row-block plan for the Pallas bell kernels (OpenMP).
+
+    cols2: (C, R, k) int source-row ids (already chunk-padded).  Returns
+    (blocks (C, U) int32, locals (C, R, k) int32, U) matching
+    bell_spmm.plan_chunks' pure-NumPy plan — or None without native.
+    Pass u (the known max unique-block count, e.g. from a prior
+    plan_blocks_count_native probe) to skip the count pass.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    c_chunks = cols2.shape[0]
+    rk = int(np.prod(cols2.shape[1:]))
+    flat = np.ascontiguousarray(cols2.reshape(c_chunks, rk), dtype=np.int32)
+    if u is None:
+        counts = np.empty(c_chunks, np.int32)
+        lib.plan_blocks_count_i32(
+            c_chunks, rk, _ptr(flat, ctypes.c_int32),
+            _ptr(counts, ctypes.c_int32),
+        )
+        u = int(counts.max())
     blocks = np.empty((c_chunks, u), np.int32)
     locals_ = np.empty((c_chunks, rk), np.int32)
     lib.plan_blocks_fill_i32(

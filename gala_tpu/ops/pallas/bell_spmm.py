@@ -64,7 +64,33 @@ def _vmem_gather(tab, flat_idx):
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int):
+def _chunk_pad(cols: np.ndarray, k: int, rows_per_chunk: int):
+    """(C, R, k) zero-padded chunk view of a segment's slot cols."""
+    nb = cols.shape[0] // k
+    r = rows_per_chunk
+    c_chunks = -(-nb // r)
+    cols2 = np.zeros((c_chunks * r, k), np.int64)
+    cols2[:nb] = cols.reshape(nb, k)
+    return cols2.reshape(c_chunks, r, k), nb, c_chunks
+
+
+def plan_chunk_max_u(cols: np.ndarray, k: int, rows_per_chunk: int) -> int:
+    """Worst chunk's unique-8-row-block count at this granularity — the
+    count-only probe make_plan's VMEM-budget loop runs (one parallel
+    sort pass; the fill runs once, after r is chosen)."""
+    from gala_tpu import native
+
+    cols3, _, c_chunks = _chunk_pad(cols, k, rows_per_chunk)
+    counts = native.plan_blocks_count_native(cols3)
+    if counts is not None:
+        return int(counts.max())
+    return max(
+        np.unique(cols3[c] // BLK).shape[0] for c in range(c_chunks)
+    )
+
+
+def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int,
+                u_hint: int | None = None):
     """Host planner for one k-wide segment.
 
     cols: (nb*k,) int32 source-row ids (slot order).  Returns
@@ -73,16 +99,11 @@ def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int):
     by repeating block 0 — harmless duplicate traffic) and resolves
     slot (v, j) at staged row locals[c, v, j].
     """
-    nb = cols.shape[0] // k
+    cols3, nb, c_chunks = _chunk_pad(cols, k, rows_per_chunk)
     r = rows_per_chunk
-    c_chunks = -(-nb // r)
-    nb_pad = c_chunks * r
-    cols2 = np.zeros((nb_pad, k), np.int64)
-    cols2[:nb] = cols.reshape(nb, k)
-    cols3 = cols2.reshape(c_chunks, r, k)
     from gala_tpu import native
 
-    planned = native.plan_blocks_native(cols3)
+    planned = native.plan_blocks_native(cols3, u=u_hint)
     if planned is not None:
         blocks, locals_, u = planned
         return blocks, locals_, nb, c_chunks, u
@@ -204,13 +225,23 @@ def make_plan(cols: np.ndarray, k: int, rows_per_chunk: int = 256,
     (caller falls back to the XLA gather path)."""
     cols = np.asarray(cols)
     r = rows_per_chunk
-    while True:
-        blocks, locals_, nb, c_chunks, u = plan_chunks(cols, k, r)
-        if max_staged_rows is None or u * BLK <= max_staged_rows:
-            break
-        if r <= 8:
-            return None
-        r //= 2
+    u = None
+    if max_staged_rows is not None:
+        # count-only probes until the worst chunk fits; each probe is one
+        # parallel sort pass (the fill's extra pass runs once, below).
+        # Shrink geometrically toward the budget rather than blind
+        # halving — u shrinks sublinearly in r, so the jump never
+        # overshoots by more than one refinement round.
+        while True:
+            u = plan_chunk_max_u(cols, k, r)
+            if u * BLK <= max_staged_rows:
+                break
+            if r <= 8:
+                return None
+            over = (u * BLK) / max_staged_rows
+            r = max((r // max(2, int(over))) // 8 * 8, 8)  # 8-sublane grain
+            u = None
+    blocks, locals_, nb, c_chunks, u = plan_chunks(cols, k, r, u_hint=u)
     return BellPlan(
         blocks=jnp.asarray(blocks),
         locals_=jnp.asarray(locals_),
