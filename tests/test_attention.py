@@ -292,3 +292,55 @@ def test_pallas_attention_forward_matches(attn_graph, monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(a1), np.asarray(a0), rtol=2e-4, atol=2e-5
             )
+
+
+def test_hub_only_graph_attention(monkeypatch):
+    """A graph where EVERY node is a hub (deg > 128): no bin segments at
+    all — the layout is one hub block, and under use_pallas the whole
+    fused path (fwd normalize=False merge + both backward passes) runs
+    through the hub branches exclusively."""
+    import gala_tpu.ops.pallas.bell_spmm as pb
+    from gala_tpu.data.csr import coo_to_csr, densify
+    from gala_tpu.ops.attention import AttnBell
+
+    rng = np.random.default_rng(3)
+    n = 300
+    src = rng.integers(0, n, n * 400)
+    dst = rng.integers(0, n, n * 400)
+    key = np.unique(src.astype(np.int64) * n + dst)  # dedupe: duplicate
+    src, dst = key // n, key % n                     # edges are distinct
+    g_host = coo_to_csr(src, dst, None, n_rows=n)    # softmax slots
+    assert np.diff(g_host.row_ptr).min() > 128
+
+    monkeypatch.setattr(pb, "_MIN_PLAN_SLOTS", 0)
+    g = Graph.from_host(g_host, strategy="bell", attention=True,
+                        keep_edges=True)
+    ab_p = AttnBell.from_host(g_host, g.n_pad, g.c_pad, use_pallas=True)
+    assert not ab_p.fwd.bin_ks and ab_p.fwd.n_big == n
+    assert ab_p.fwd.pallas_plans[-1] is not None
+
+    a = jnp.asarray(densify(g_host))
+    x = jnp.asarray(rng.standard_normal((g.c_pad, 16)).astype(np.float32))
+    vl = jnp.asarray(rng.standard_normal((g.c_pad, 1)).astype(np.float32))
+    vr = jnp.asarray(rng.standard_normal((g.n_pad, 1)).astype(np.float32))
+
+    def loss(ab, x_, vl_, vr_):
+        o = attention_aggregate(g.n_pad, g.c_pad, SLOPE, ab, x_, vl_, vr_)
+        return jnp.sum(jnp.sin(o[:n])), o
+
+    (l_d, out_p), g_p = jax.value_and_grad(
+        lambda *a_: loss(ab_p, *a_), argnums=(0, 1, 2), has_aux=True
+    )(x, vl, vr)
+    ref = _dense_attn(a, x, vl, vr, n)
+    np.testing.assert_allclose(
+        np.asarray(out_p)[:n], np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+    def dense_loss(x_, vl_, vr_):
+        return jnp.sum(jnp.sin(_dense_attn(a, x_, vl_, vr_, n)))
+
+    g_d = jax.grad(dense_loss, argnums=(0, 1, 2))(x, vl, vr)
+    for got, want in zip(g_p, g_d):
+        np.testing.assert_allclose(
+            np.asarray(got)[:n], np.asarray(want)[:n], rtol=1e-3, atol=1e-4
+        )
