@@ -59,6 +59,13 @@ GALA_PALLAS_AUTO=1 timeout 5400 python scripts/evaluate.py --job fig16 \
 timeout 5400 python scripts/evaluate.py --job table7 --datasets Arxiv --iters 30 \
     --outdir results_r2
 
+# 3b. minibatch GraphSAGE on Reddit (BASELINE's neighbor-sampling
+#     pipeline config) — dynamic + static neighborhoods
+timeout 5400 python scripts/bench_minibatch.py --dataset Reddit --scale 0.25 \
+    --iters 12 | tee results_r2/minibatch_sage.json
+timeout 5400 python scripts/bench_minibatch.py --dataset Reddit --scale 0.25 \
+    --iters 12 --static | tee -a results_r2/minibatch_sage.json
+
 # 4. fig18 on Reddit (the reference's Figure-18 dataset; r1 ran Arxiv)
 timeout 5400 python scripts/evaluate.py --job fig18 --datasets Reddit --scale 0.25 \
     --layers 2 3 --hidden 32 128 512 --iters 20 --outdir results_r2
