@@ -48,10 +48,11 @@ def _enable_compile_cache() -> None:
     # dryrun subprocess) therefore cache under a host-fingerprinted
     # subdir; TPU entries stay at top level — they target the v5e, are
     # host-independent, and cost minutes each to recompile.
-    if "cpu" in (
-        _os.environ.get("JAX_PLATFORMS", ""),
-        _os.environ.get("JAX_PLATFORM_NAME", ""),
-    ):
+    _plat_envs = (
+        _os.environ.get("JAX_PLATFORMS", "")
+        + "," + _os.environ.get("JAX_PLATFORM_NAME", "")
+    ).lower()
+    if "cpu" in (p.strip() for p in _plat_envs.split(",")):
         import hashlib as _hashlib
 
         try:

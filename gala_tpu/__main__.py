@@ -112,7 +112,7 @@ def main(argv=None):
     if args.driver == "export":
         from gala_tpu.export import export_compiled
 
-        out = args.out or (args.model.rsplit(".", 1)[0] + "_exported")
+        out = args.out or (os.path.splitext(args.model)[0] + "_exported")
         export_compiled(cm, out, platforms=tuple(args.platforms))
         print(out)
         return

@@ -33,7 +33,6 @@ epochs (no per-layer training subgraphs) and no per-epoch inputs.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import os
 
@@ -114,6 +113,15 @@ def export_compiled(
     from jax import export as jexport
 
     loop = cm.program.loop
+    if cm.spec.compute.sample_dynamic:
+        # per-epoch (_ra, _rb) sampling inputs cannot ride a serialized
+        # artifact: the exported step would silently freeze one
+        # neighborhood (interp's constant fallback) — a different model.
+        # Same guard shape as parallel/compiled.shard_compiled.
+        raise NotImplementedError(
+            "export of dynamic-sampling programs is not supported: the "
+            "artifact would train on one frozen neighborhood every epoch"
+        )
     valid_step = loop.valid_step or 5
     if chunk is None:
         chunk = max(valid_step - 1, 1)
@@ -263,11 +271,16 @@ class ExportedModel:
 
         plan = _chunk_plan(iters, valid_step, warmup, K)
         losses, snapshots = [], []
+        mem_mb = 0.0
         timer = EpochTimer()
         loss = None
         for kind, epoch, ln in plan:
             if epoch == warmup:
                 timer.start(fence_on=loss)
+                if m["print_memory"]:
+                    from gala_tpu.train import device_memory_mb
+
+                    mem_mb = device_memory_mb()
             if kind == "single":
                 p, o, loss = step(p, o, d)
                 losses.append(loss)
@@ -303,6 +316,7 @@ class ExportedModel:
             losses=losses_host,
             accuracies=accs,
             params=p,
+            memory_mb=mem_mb,
         )
 
     def run(self, iters: int | None = None) -> str:
@@ -345,7 +359,7 @@ def load_exported(path: str) -> ExportedModel:
     for name in ("step", "chunk", "fwd", "fwdchunk", "acc"):
         with open(os.path.join(path, f"{name}.jaxexport"), "rb") as f:
             exp = jexport.deserialize(f.read())
-        calls[name] = functools.partial(exp.call)
+        calls[name] = exp.call
     state = _load_leaves(os.path.join(path, "state.npz"), manifest["dtypes"])
     state = {k: [jnp.asarray(a) for a in v] for k, v in state.items()}
     return ExportedModel(path=path, manifest=manifest, _calls=calls, _state=state)

@@ -53,6 +53,8 @@ def main():
     if sizes != args.devices:
         print(f"# only {n_avail} devices visible; running {sizes}",
               file=sys.stderr)
+    if not sizes:
+        sys.exit(f"no requested mesh size fits {n_avail} visible devices")
 
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -91,10 +93,13 @@ def main():
         t = timer.stop(loss, n=max(args.iters - args.warmup, 1))
         rows.append((d, n, g_host.n_edges, t))
 
-    t1 = rows[0][3] * rows[0][0]  # normalize if devices[0] != 1
+    # efficiency is relative to the smallest mesh actually run (d0):
+    # weak keeps per-device work constant, so eff = t(d0)/t(d); strong
+    # divides one fixed problem, so eff = d0*t(d0) / (d*t(d))
+    d0, _, _, t0 = rows[0]
     backend = jax.devices()[0].platform
     for d, n, e, t in rows:
-        eff = (t1 / (t * 1)) if args.mode == "weak" else t1 / (d * t)
+        eff = (t0 / t) if args.mode == "weak" else (d0 * t0) / (d * t)
         print(json.dumps({
             "devices": d, "nodes": n, "edges": int(e), "mode": args.mode,
             "halo": not args.no_halo, "epoch_s": round(t, 6),

@@ -7,5 +7,5 @@
 # cannot help because the env must be clean BEFORE python starts.
 # PALLAS_AXON_POOL_IPS= makes sitecustomize skip axon registration
 # entirely; JAX_PLATFORMS=cpu keeps backend discovery on CPU.
-exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-    python -m pytest "${@:-tests/ -q}"
+if [ $# -eq 0 ]; then set -- tests/ -q; fi
+exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest "$@"
