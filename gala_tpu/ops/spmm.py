@@ -760,8 +760,13 @@ def spmm(g: Graph, x: jax.Array) -> jax.Array:
         # ShardedGraph inside shard_map (gala_tpu.parallel): collectives
         # replace the transpose-graph custom VJP — autodiff reverses the
         # all_gather/all_to_all into the edge-partitioned backward
-        from gala_tpu.parallel.ops import spmd_spmm, spmd_spmm_halo
+        from gala_tpu.parallel.ops import (
+            spmd_spmm, spmd_spmm_bell, spmd_spmm_halo,
+        )
 
+        if getattr(g, "bell", None) is not None:
+            # scatter-free per-shard binned reduce (ShardedBell layouts)
+            return spmd_spmm_bell(g, x)
         if g.use_halo:
             return spmd_spmm_halo(
                 g.src_halo, g.dst_local, g.vals, x, g.send_idx,

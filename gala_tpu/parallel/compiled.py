@@ -77,6 +77,7 @@ def shard_compiled(
     cm,
     mesh: Mesh | None = None,
     use_halo: bool = False,
+    use_bell: bool = False,
     dtype=None,
     tp: bool = True,
 ) -> SpmdCompiled:
@@ -85,6 +86,8 @@ def shard_compiled(
 
     use_halo: exchange only boundary rows by all_to_all instead of
     all_gathering the full feature matrix per aggregation.
+    use_bell: scatter-free per-shard binned-ELL reduce for structural
+    aggregations (implies use_halo; see parallel.graph.ShardedBell).
     tp: when the mesh has a 'model' axis > 1, auto-plan Megatron
     col/row FFN weight splits from the IR (gala_tpu.parallel.tp) so the
     DSL-compiled program runs DP x TP; programs the planner cannot
@@ -99,12 +102,14 @@ def shard_compiled(
     n_shards = int(mesh.shape["data"])
 
     n_layers = cm.spec.num_layers
-    sg = ShardedGraph.from_host(cm.host_graph, n_shards, use_halo=use_halo)
+    sg = ShardedGraph.from_host(cm.host_graph, n_shards, use_halo=use_halo,
+                                use_bell=use_bell)
     full_graphs = [sg] * n_layers
     train_graphs = None
     if cm.host_train_graphs is not None:
         train_graphs = [
-            ShardedGraph.from_host(s, n_shards, use_halo=use_halo)
+            ShardedGraph.from_host(s, n_shards, use_halo=use_halo,
+                                   use_bell=use_bell)
             for s in cm.host_train_graphs
         ]
         # SPMD requires identical shapes per shard across graphs of one

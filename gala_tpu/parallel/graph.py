@@ -31,6 +31,188 @@ def _round_up(x: int, m: int) -> int:
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class ShardedBell:
+    """Per-shard binned-ELL layouts with shard-uniform static structure.
+
+    The SPMD local reduce was a sorted segment_sum — measured at
+    95-130M rows/s on the v5e versus 200M+ for the scatter-free binned
+    reduce (docs/PERF_NOTES.md).  This carries one bell layout PER SHARD
+    over the per-shard [local rows | halo rows | phantom] feature table,
+    stored stacked (leading dim divisible by n_shards) so shard_map's
+    P('data') hands each device its own layout; the STATIC structure
+    (bin widths/counts, hub shape, slot total) is equalized across
+    shards by inert fake rows (phantom slots, zero values) so every
+    device traces the same program.
+
+    view() rebuilds an ops.graph.BellDev from the per-shard slices
+    inside shard_map; ops.spmm._spmm_bell then provides the scatter-free
+    forward AND backward (transpose layout) unchanged.
+    """
+
+    flat_cols: jax.Array       # (S * s_total,) int32 into the per-shard table
+    bin_vals: tuple            # per bin (S * nb_c, k_c) f32
+    big_vals: jax.Array | None  # (S * vb, K_BIG) f32
+    big_vrow: jax.Array | None  # (S * vb,) int32
+    out_index: jax.Array       # (S * n_out,) int32 bin-order -> row order
+    bin_ks: tuple              # static, shard-uniform
+    bin_counts: tuple          # static, per-shard rows per bin
+    n_big: int                 # static, per-shard hub nodes
+    s_total: int               # static, per-shard slots
+    n_out: int                 # static, per-shard output rows (incl. zero row)
+
+    def tree_flatten(self):
+        return (
+            (self.flat_cols, self.bin_vals, self.big_vals, self.big_vrow,
+             self.out_index),
+            (self.bin_ks, self.bin_counts, self.n_big, self.s_total,
+             self.n_out),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def view(self):
+        """The per-shard BellDev (call inside shard_map, where the
+        children are already this shard's slices)."""
+        from gala_tpu.ops.graph import BellDev
+
+        return BellDev(
+            flat_cols=self.flat_cols,
+            bin_vals=self.bin_vals,
+            big_vals=self.big_vals,
+            big_vrow=self.big_vrow,
+            diag=None,
+            out_index=self.out_index,
+            stage=None,
+            pallas_plans=None,
+            bin_ks=self.bin_ks,
+            bin_counts=self.bin_counts,
+            n_big=self.n_big,
+            n_real=self.n_out - 1,
+        )
+
+
+def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int):
+    """Stacked shard-uniform binned-ELL layouts from per-shard edges.
+
+    edge_lists: per shard (dst, src, vals) REAL edges — dst in
+    [0, n_rows_out) (this shard's output rows), src in [0, n_tab) (this
+    shard's gather-table rows; the table's zero/phantom row sits at
+    index n_tab).  Static structure is equalized with fake rows whose
+    slots all read the phantom row with value 0: per degree class the
+    row count pads to the max across shards; hub nodes/virtual rows pad
+    to shared (n_big, vb) targets (every fake hub carries >= 2 virtual
+    rows, which deg > BIN_SIZES[-1] forces).
+    """
+    from gala_tpu.data.csr import coo_to_csr
+    from gala_tpu.data.ell import (
+        BIN_SIZES,
+        K_BIG,
+        _bell_classes,
+        build_binned_ell,
+    )
+
+    n_cls = len(BIN_SIZES)
+    stats = []
+    for dst, src, vals in edge_lists:
+        deg = np.bincount(dst, minlength=n_rows_out)
+        cls = _bell_classes(deg)
+        cnt = np.bincount(cls, minlength=n_cls + 1)
+        big_deg = deg[cls == n_cls]
+        vb = int(((big_deg + K_BIG - 1) // K_BIG).sum()) if big_deg.size else 0
+        stats.append((cnt, vb))
+    cnt_t = np.max([c for c, _ in stats], axis=0)
+    nb_t = int(cnt_t[-1])
+    vb_t = max(vb for _, vb in stats)
+    # a shard already at the hub-count target cannot add virtual rows
+    # without adding a hub — bump the target so every shard gets >= 1
+    # fake hub, then retarget vb so each shard's deficit is >= 2 per
+    # fake hub (a fake hub's smallest degree, BIN_SIZES[-1]+1, already
+    # yields 2 virtual rows)
+    if nb_t and any(
+        int(c[-1]) == nb_t and vb < vb_t for c, vb in stats
+    ) and any(vb < vb_t for _, vb in stats):
+        nb_t += 1
+    if nb_t:
+        vb_t = max(
+            vb_t,
+            max(vb + 2 * (nb_t - int(c[-1])) for c, vb in stats),
+        )
+
+    hbs = []
+    for (dst, src, vals), (cnt, vb) in zip(edge_lists, stats):
+        fake_deg = []
+        for c in range(n_cls):
+            fake_deg.extend([BIN_SIZES[c]] * int(cnt_t[c] - cnt[c]))
+        fake_nb = nb_t - int(cnt[-1])
+        if fake_nb:
+            fake_vb = vb_t - vb
+            assert fake_vb >= 2 * fake_nb, (fake_vb, fake_nb)
+            fake_deg.extend([2 * K_BIG] * (fake_nb - 1))
+            fake_deg.append(K_BIG * (fake_vb - 2 * (fake_nb - 1)))
+        n_fake = len(fake_deg)
+        if n_fake:
+            fdst = np.repeat(
+                np.arange(n_rows_out, n_rows_out + n_fake, dtype=np.int64),
+                np.asarray(fake_deg, np.int64),
+            )
+            dst = np.concatenate([np.asarray(dst, np.int64), fdst])
+            src = np.concatenate(
+                [np.asarray(src, np.int64), np.full(fdst.shape[0], n_tab)]
+            )
+            vals = np.concatenate(
+                [np.asarray(vals, np.float32),
+                 np.zeros(fdst.shape[0], np.float32)]
+            )
+        g = coo_to_csr(src, dst, vals, n_rows=n_rows_out + n_fake,
+                       n_cols=n_tab + 1)
+        hbs.append(build_binned_ell(g, phantom_col=n_tab, split_diag=False))
+
+    h0 = hbs[0]
+    for h in hbs[1:]:
+        assert h.bin_ks == h0.bin_ks and h.bin_counts == h0.bin_counts
+        assert h.n_big == h0.n_big
+        assert h.flat_cols.shape == h0.flat_cols.shape
+        assert h.order.shape == h0.order.shape
+
+    n_rows_total = int(h0.order.shape[0])
+    out_idx = []
+    for h in hbs:
+        inv = np.empty(n_rows_total, np.int64)
+        inv[h.order] = np.arange(n_rows_total)
+        # fake rows (ids >= n_rows_out) drop; the appended zero row of
+        # _bell_raw's assembly (index n_rows_total) backs row n_rows_out
+        # — the t-layout phantom / dz zero row
+        out_idx.append(
+            np.concatenate([inv[:n_rows_out], [n_rows_total]]).astype(np.int32)
+        )
+
+    return ShardedBell(
+        flat_cols=jnp.asarray(np.concatenate([h.flat_cols for h in hbs])),
+        bin_vals=tuple(
+            jnp.asarray(np.concatenate([h.bin_vals[i] for h in hbs]))
+            for i in range(len(h0.bin_ks))
+        ),
+        big_vals=(
+            jnp.asarray(np.concatenate([h.big_vals for h in hbs]))
+            if h0.n_big else None
+        ),
+        big_vrow=(
+            jnp.asarray(np.concatenate([h.big_vrow for h in hbs]))
+            if h0.n_big else None
+        ),
+        out_index=jnp.asarray(np.concatenate(out_idx)),
+        bin_ks=h0.bin_ks,
+        bin_counts=h0.bin_counts,
+        n_big=h0.n_big,
+        s_total=int(h0.flat_cols.shape[0]),
+        n_out=n_rows_out + 1,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class ShardedGraph:
     """dst-partitioned edge list, shard-uniform shapes.
 
@@ -70,6 +252,11 @@ class ShardedGraph:
     # TP plan as sorted (weight_name, 'col'|'row') items — static aux so
     # interp's FFN lowering sees it at trace time (gala_tpu.parallel.tp)
     tp_plan: tuple = ()
+    # scatter-free per-shard binned-ELL layouts over the [local | halo]
+    # table (build with use_bell=True; see ShardedBell) — bell drives
+    # the forward reduce, t_bell the transpose (backward) reduce
+    bell: "ShardedBell | None" = None
+    t_bell: "ShardedBell | None" = None
 
     # op-layer dispatch markers (see ops/spmm.py, ops/edge.py)
     is_spmd = True
@@ -85,7 +272,7 @@ class ShardedGraph:
     def tree_flatten(self):
         return (
             (self.src, self.dst_local, self.vals, self.occ, self.deg,
-             self.src_halo, self.send_idx),
+             self.src_halo, self.send_idx, self.bell, self.t_bell),
             (self.n_shards, self.rows_per_shard, self.n_pad, self.n_nodes,
              self.edges_per_shard, self.edges_local, self.halo, self.use_halo,
              self.tp_plan),
@@ -93,11 +280,15 @@ class ShardedGraph:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *main, bell, t_bell = children
+        return cls(*main, *aux, bell=bell, t_bell=t_bell)
 
     @classmethod
     def from_host(cls, g: HostCSR, n_shards: int,
-                  use_halo: bool = False) -> "ShardedGraph":
+                  use_halo: bool = False,
+                  use_bell: bool = False) -> "ShardedGraph":
+        if use_bell:
+            use_halo = True  # the bell layouts index the [local|halo] table
         n = g.n_rows
         r = _round_up(max((n + n_shards - 1) // n_shards, 8), 8)
         n_pad = r * n_shards
@@ -167,6 +358,19 @@ class ShardedGraph:
             dest[np.nonzero(reals[s])[0]] = local
             src_halo[s] = dest.astype(np.int32)
 
+        bell = t_bell = None
+        if use_bell:
+            n_tab = r + n_shards * h
+            fwd_lists, t_lists = [], []
+            for s in range(n_shards):
+                m = reals[s]
+                fwd_lists.append((dstl[s][m], src_halo[s][m], vals[s][m]))
+                t_lists.append((src_halo[s][m], dstl[s][m], vals[s][m]))
+            bell = _build_sharded_bell(fwd_lists, r, n_tab)
+            # transpose side: rows = table positions, gathered values =
+            # dz rows (dz's appended zero row at index r is the phantom)
+            t_bell = _build_sharded_bell(t_lists, n_tab, r)
+
         return cls(
             src=jnp.asarray(src.reshape(-1)),
             dst_local=jnp.asarray(dstl.reshape(-1)),
@@ -175,6 +379,8 @@ class ShardedGraph:
             deg=jnp.asarray(deg),
             src_halo=jnp.asarray(src_halo.reshape(-1)),
             send_idx=jnp.asarray(send_idx.reshape(n_shards * n_shards, h)),
+            bell=bell,
+            t_bell=t_bell,
             n_shards=n_shards,
             rows_per_shard=r,
             n_pad=n_pad,

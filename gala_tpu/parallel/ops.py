@@ -70,6 +70,29 @@ def spmd_spmm_halo(src_halo, dst_local, vals, x_shard, send_idx,
     return out[:r]
 
 
+def spmd_spmm_bell(g, x_shard):
+    """Scatter-free per-shard aggregation: halo all_to_all builds the
+    per-shard [local | halo | zero] table, then the shard's binned-ELL
+    layouts run ops.spmm._spmm_bell — the same scatter-free custom-VJP
+    reduce as single-chip (forward bins + transpose layout backward),
+    measured ~2x the sorted-segment-sum scatter rate on the v5e
+    (docs/PERF_NOTES.md).  Autodiff reverses the table concat and the
+    all_to_all, so halo gradients flow back to their owner shards."""
+    from gala_tpu.ops.spmm import _spmm_bell
+
+    f = x_shard.shape[1]
+    r, s, h = g.rows_per_shard, g.n_shards, g.halo
+    send = x_shard[g.send_idx.reshape(-1)].reshape(s, h, f)
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+    tab = jnp.concatenate(
+        [x_shard, recv.reshape(s * h, f), jnp.zeros((1, f), x_shard.dtype)],
+        axis=0,
+    )
+    out = _spmm_bell(g.bell.n_out, g.t_bell.n_out, g.bell.view(),
+                     g.t_bell.view(), tab)
+    return out[:r]
+
+
 def spmd_spmm_ev(src, dst_local, evals, x_shard, rows_per_shard):
     """SpMM with learned edge values (GAT path), same gather structure."""
     x_full = jax.lax.all_gather(x_shard, AXIS, tiled=True)

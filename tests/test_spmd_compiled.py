@@ -157,3 +157,31 @@ def test_spmd_unfused_chain_halo():
         np.asarray(logits[:n], np.float32),
         rtol=2e-4, atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("model", ["gcn", "gin"])
+def test_spmd_bell_forward_matches_single(model):
+    """use_bell: the scatter-free per-shard binned reduce (ShardedBell
+    layouts through ops.spmm._spmm_bell inside shard_map) reproduces the
+    single-chip logits."""
+    cm = _compile(model)
+    logits, params = _single_logits(cm)
+    sm = shard_compiled(cm, use_bell=True)
+    assert sm.full_graphs[0].bell is not None
+    assert sm.full_graphs[0].t_bell is not None
+    with sm.mesh:
+        carry_s = jax.jit(sm.invariant)(sm.full_graphs, sm.x)
+        logits_s = jax.jit(sm.forward)(params, sm.full_graphs, carry_s)
+    n = cm.host_graph.n_rows
+    np.testing.assert_allclose(
+        np.asarray(logits_s[:n], np.float32),
+        np.asarray(logits[:n], np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_spmd_bell_trains_to_accuracy():
+    cm = _compile("gcn")
+    sm = shard_compiled(cm, use_bell=True)
+    res = sm.train(iters=30)
+    assert res.max_accuracy > 0.8, res.max_accuracy
