@@ -101,15 +101,22 @@ def shard_compiled(
     # graph/node arrays shard over 'data' only; 'model' shards features
     n_shards = int(mesh.shape["data"])
 
+    from gala_tpu.ir.compute_ir import ComputeOp
+
+    has_attn = any(
+        n.op is ComputeOp.FUSED_ATTENTION for n in cm.program.all_nodes()
+    )
     n_layers = cm.spec.num_layers
     sg = ShardedGraph.from_host(cm.host_graph, n_shards, use_halo=use_halo,
-                                use_bell=use_bell)
+                                use_bell=use_bell,
+                                attention=use_bell and has_attn)
     full_graphs = [sg] * n_layers
     train_graphs = None
     if cm.host_train_graphs is not None:
         train_graphs = [
             ShardedGraph.from_host(s, n_shards, use_halo=use_halo,
-                                   use_bell=use_bell)
+                                   use_bell=use_bell,
+                                   attention=use_bell and has_attn)
             for s in cm.host_train_graphs
         ]
         # SPMD requires identical shapes per shard across graphs of one

@@ -59,18 +59,23 @@ class ShardedBell:
     n_big: int                 # static, per-shard hub nodes
     s_total: int               # static, per-shard slots
     n_out: int                 # static, per-shard output rows (incl. zero row)
+    # bin-order row ids (hb.order; fake rows carry ids >= the real row
+    # count and CLAMP to the table's zero row when used as gather
+    # indices) — the attention executor's AttnBell.rows
+    rows: jax.Array | None = None  # (S * n_rows_total,) int32
 
     def tree_flatten(self):
         return (
             (self.flat_cols, self.bin_vals, self.big_vals, self.big_vrow,
-             self.out_index),
+             self.out_index, self.rows),
             (self.bin_ks, self.bin_counts, self.n_big, self.s_total,
              self.n_out),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *main, rows = children
+        return cls(*main, *aux, rows=rows)
 
     def view(self):
         """The per-shard BellDev (call inside shard_map, where the
@@ -93,7 +98,8 @@ class ShardedBell:
         )
 
 
-def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int):
+def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int,
+                        with_rows: bool = False, occupancy: bool = False):
     """Stacked shard-uniform binned-ELL layouts from per-shard edges.
 
     edge_lists: per shard (dst, src, vals) REAL edges — dst in
@@ -113,6 +119,14 @@ def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int):
         build_binned_ell,
     )
 
+    if occupancy:
+        # attention layouts mask slots by OCCUPANCY, not edge weight
+        # (a real edge with weight 0.0 must stay in the softmax —
+        # ops/attention.build_attention_bell)
+        edge_lists = [
+            (dst, src, np.ones(np.asarray(dst).shape[0], np.float32))
+            for dst, src, _ in edge_lists
+        ]
     n_cls = len(BIN_SIZES)
     stats = []
     for dst, src, vals in edge_lists:
@@ -208,6 +222,12 @@ def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int):
         n_big=h0.n_big,
         s_total=int(h0.flat_cols.shape[0]),
         n_out=n_rows_out + 1,
+        rows=(
+            jnp.asarray(
+                np.concatenate([h.order.astype(np.int32) for h in hbs])
+            )
+            if with_rows else None
+        ),
     )
 
 
@@ -257,6 +277,11 @@ class ShardedGraph:
     # the forward reduce, t_bell the transpose (backward) reduce
     bell: "ShardedBell | None" = None
     t_bell: "ShardedBell | None" = None
+    # fused-attention layouts (use_bell=True + attention=True): the
+    # occupancy-masked analogs feeding ops.attention.attention_aggregate
+    # inside shard_map (spmd_attention's bell branch)
+    attn_bell: "ShardedBell | None" = None
+    attn_t_bell: "ShardedBell | None" = None
 
     # op-layer dispatch markers (see ops/spmm.py, ops/edge.py)
     is_spmd = True
@@ -272,7 +297,8 @@ class ShardedGraph:
     def tree_flatten(self):
         return (
             (self.src, self.dst_local, self.vals, self.occ, self.deg,
-             self.src_halo, self.send_idx, self.bell, self.t_bell),
+             self.src_halo, self.send_idx, self.bell, self.t_bell,
+             self.attn_bell, self.attn_t_bell),
             (self.n_shards, self.rows_per_shard, self.n_pad, self.n_nodes,
              self.edges_per_shard, self.edges_local, self.halo, self.use_halo,
              self.tp_plan),
@@ -280,13 +306,15 @@ class ShardedGraph:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *main, bell, t_bell = children
-        return cls(*main, *aux, bell=bell, t_bell=t_bell)
+        *main, bell, t_bell, attn_bell, attn_t_bell = children
+        return cls(*main, *aux, bell=bell, t_bell=t_bell,
+                   attn_bell=attn_bell, attn_t_bell=attn_t_bell)
 
     @classmethod
     def from_host(cls, g: HostCSR, n_shards: int,
                   use_halo: bool = False,
-                  use_bell: bool = False) -> "ShardedGraph":
+                  use_bell: bool = False,
+                  attention: bool = False) -> "ShardedGraph":
         if use_bell:
             use_halo = True  # the bell layouts index the [local|halo] table
         n = g.n_rows
@@ -358,7 +386,7 @@ class ShardedGraph:
             dest[np.nonzero(reals[s])[0]] = local
             src_halo[s] = dest.astype(np.int32)
 
-        bell = t_bell = None
+        bell = t_bell = attn_bell = attn_t_bell = None
         if use_bell:
             n_tab = r + n_shards * h
             fwd_lists, t_lists = [], []
@@ -370,6 +398,13 @@ class ShardedGraph:
             # transpose side: rows = table positions, gathered values =
             # dz rows (dz's appended zero row at index r is the phantom)
             t_bell = _build_sharded_bell(t_lists, n_tab, r)
+            if attention:
+                attn_bell = _build_sharded_bell(
+                    fwd_lists, r, n_tab, with_rows=True, occupancy=True
+                )
+                attn_t_bell = _build_sharded_bell(
+                    t_lists, n_tab, r, with_rows=True, occupancy=True
+                )
 
         return cls(
             src=jnp.asarray(src.reshape(-1)),
@@ -381,6 +416,8 @@ class ShardedGraph:
             send_idx=jnp.asarray(send_idx.reshape(n_shards * n_shards, h)),
             bell=bell,
             t_bell=t_bell,
+            attn_bell=attn_bell,
+            attn_t_bell=attn_t_bell,
             n_shards=n_shards,
             rows_per_shard=r,
             n_pad=n_pad,

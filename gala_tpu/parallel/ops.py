@@ -132,6 +132,40 @@ def spmd_attention(g, x_shard, vl_shard, vr_shard, slope):
     fh = hf // nh
     r = g.rows_per_shard
     f = hf + nh
+    if getattr(g, "attn_bell", None) is not None:
+        # scatter-free fused path: per-shard attention layouts
+        # (ShardedBell over the [local | halo | zero] table) run the
+        # single-chip fused slot-space op — masked softmax + weighted
+        # reduce with the custom-VJP backward sweeps, no segment
+        # scatters.  Fake/padded ids CLAMP to the zero rows (vr row r,
+        # table row n_tab), which the occupancy masks make inert.
+        from gala_tpu.ops.attention import AttnBell, attention_aggregate
+
+        s, h = g.n_shards, g.halo
+        xx_loc = jnp.concatenate(
+            [x_shard, vl_shard.astype(x_shard.dtype)], axis=1
+        )
+        send = xx_loc[g.send_idx.reshape(-1)].reshape(s, h, f)
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+        tab = jnp.concatenate(
+            [xx_loc, recv.reshape(s * h, f),
+             jnp.zeros((1, f), xx_loc.dtype)],
+            axis=0,
+        )
+        ab = AttnBell(
+            fwd=g.attn_bell.view(),
+            t=g.attn_t_bell.view(),
+            rows=g.attn_bell.rows,
+            t_rows=g.attn_t_bell.rows,
+        )
+        vr_pad = jnp.concatenate(
+            [vr_shard, jnp.zeros((1, nh), vr_shard.dtype)], axis=0
+        )
+        out = attention_aggregate(
+            g.attn_bell.n_out, g.attn_t_bell.n_out, slope, ab,
+            tab[:, :hf], tab[:, hf:], vr_pad,
+        )
+        return out[:r]
     xx = jnp.concatenate([x_shard, vl_shard.astype(x_shard.dtype)], axis=1)
     if g.use_halo:
         el = g.edges_local
