@@ -545,38 +545,144 @@ def _spmm_bell_fwd(n_out, c_out, bell, t_bell, x):
     return _bell_raw(bell, x, n_out), (bell, t_bell)
 
 
+def _bell_zeros_ct(b):
+    """Zero/float0 cotangent for a BellDev (layouts are wiring, not data)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        b,
+        flat_cols=_float0_like(b.flat_cols),
+        bin_vals=tuple(jnp.zeros_like(v) for v in b.bin_vals),
+        big_vals=jnp.zeros_like(b.big_vals) if b.big_vals is not None else None,
+        big_vrow=_float0_like(b.big_vrow) if b.big_vrow is not None else None,
+        diag=jnp.zeros_like(b.diag) if b.diag is not None else None,
+        out_index=_float0_like(b.out_index) if b.out_index is not None else None,
+        stage=tuple(
+            (_float0_like(u), _float0_like(l)) for u, l in b.stage
+        ) if b.stage is not None else None,
+        pallas_plans=tuple(
+            _dc.replace(
+                pn,
+                blocks=_float0_like(pn.blocks),
+                locals_=_float0_like(pn.locals_),
+            ) if pn is not None else None
+            for pn in b.pallas_plans
+        ) if b.pallas_plans is not None else None,
+    )
+
+
 def _spmm_bell_bwd(n_out, c_out, res, dz):
     bell, t_bell = res
     dx = _bell_raw(t_bell, dz, c_out)
-
-    def zeros_ct(b):
-        import dataclasses as _dc
-
-        return _dc.replace(
-            b,
-            flat_cols=_float0_like(b.flat_cols),
-            bin_vals=tuple(jnp.zeros_like(v) for v in b.bin_vals),
-            big_vals=jnp.zeros_like(b.big_vals) if b.big_vals is not None else None,
-            big_vrow=_float0_like(b.big_vrow) if b.big_vrow is not None else None,
-            diag=jnp.zeros_like(b.diag) if b.diag is not None else None,
-            out_index=_float0_like(b.out_index) if b.out_index is not None else None,
-            stage=tuple(
-                (_float0_like(u), _float0_like(l)) for u, l in b.stage
-            ) if b.stage is not None else None,
-            pallas_plans=tuple(
-                _dc.replace(
-                    pn,
-                    blocks=_float0_like(pn.blocks),
-                    locals_=_float0_like(pn.locals_),
-                ) if pn is not None else None
-                for pn in b.pallas_plans
-            ) if b.pallas_plans is not None else None,
-        )
-
-    return (zeros_ct(bell), zeros_ct(t_bell), dx)
+    return (_bell_zeros_ct(bell), _bell_zeros_ct(t_bell), dx)
 
 
 _spmm_bell.defvjp(_spmm_bell_fwd, _spmm_bell_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# bell SpMM with LEARNED edge values (runtime slot values)
+# --------------------------------------------------------------------------- #
+def _with_slot_vals(bell, slot_flat):
+    """A BellDev whose bin/big values come from a runtime (traced) flat
+    slot vector — bin_vals are pytree children, so every _bell_raw code
+    path (flat / chunked / rolled-scan) works unchanged with learned
+    edge values."""
+    import dataclasses as _dc
+
+    bvs, off = [], 0
+    for k, nb in zip(bell.bin_ks, bell.bin_counts):
+        bvs.append(
+            jax.lax.slice_in_dim(slot_flat, off, off + nb * k).reshape(nb, k)
+        )
+        off += nb * k
+    big = None
+    if bell.n_big:
+        vb, kb = bell.big_vals.shape
+        big = jax.lax.slice_in_dim(slot_flat, off, off + vb * kb).reshape(vb, kb)
+    return _dc.replace(bell, bin_vals=tuple(bvs), big_vals=big)
+
+
+def _bell_slot_grads(bell, x, dz_bin):
+    """Per-slot gradients sum_f x[col_s] * dz[row_s] (the SDDMM sweep of
+    the edge-value backward), flat (s_total,) in slot order."""
+    parts, off, r0 = [], 0, 0
+    segs = list(zip(bell.bin_ks, bell.bin_counts))
+    if bell.n_big:
+        vb, kb = bell.big_vals.shape
+    for k, nb in segs:
+        cols = jax.lax.slice_in_dim(
+            bell.flat_cols, off, off + nb * k
+        ).reshape(nb, k)
+        seg = x[cols].astype(jnp.float32)
+        dzc = jax.lax.slice_in_dim(dz_bin, r0, r0 + nb).astype(jnp.float32)
+        # multiply+reduce, not a batched-contraction einsum (Mosaic/MXU
+        # lowers those to tiny batched matmuls)
+        parts.append(jnp.sum(seg * dzc[:, None, :], axis=-1).reshape(-1))
+        off += nb * k
+        r0 += nb
+    if bell.n_big:
+        cols = jax.lax.slice_in_dim(
+            bell.flat_cols, off, off + vb * kb
+        ).reshape(vb, kb)
+        seg = x[cols].astype(jnp.float32)
+        dzc = jax.lax.slice_in_dim(dz_bin, r0, r0 + bell.n_big)[
+            bell.big_vrow
+        ].astype(jnp.float32)
+        parts.append(jnp.sum(seg * dzc[:, None, :], axis=-1).reshape(-1))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_ev_bell(n_out, c_out, bell, t_bell, rows, edge_perm, t_edge_perm,
+                  slot_of_edge, evals, x):
+    """Bell SpMM with learned edge values, scatter-free in BOTH
+    directions: slot values gather from evals via edge_perm; dx runs the
+    transpose layout with the same values (t_edge_perm); d_evals gathers
+    the per-slot SDDMM grads back through slot_of_edge.  Padded slots
+    read evals' appended zero; padded edges read the appended zero
+    slot."""
+    slot_vals = jnp.concatenate(
+        [evals, jnp.zeros(1, evals.dtype)]
+    )[edge_perm]
+    return _bell_raw(_with_slot_vals(bell, slot_vals), x, n_out)
+
+
+def _spmm_ev_bell_fwd(n_out, c_out, bell, t_bell, rows, edge_perm,
+                      t_edge_perm, slot_of_edge, evals, x):
+    return (
+        _spmm_ev_bell(n_out, c_out, bell, t_bell, rows, edge_perm,
+                      t_edge_perm, slot_of_edge, evals, x),
+        (bell, t_bell, rows, edge_perm, t_edge_perm, slot_of_edge, evals, x),
+    )
+
+
+def _spmm_ev_bell_bwd(n_out, c_out, res, dz):
+    bell, t_bell, rows, edge_perm, t_edge_perm, slot_of_edge, evals, x = res
+    evals_pad = jnp.concatenate([evals, jnp.zeros(1, evals.dtype)])
+    dx = _bell_raw(
+        _with_slot_vals(t_bell, evals_pad[t_edge_perm]), dz, c_out
+    )
+    # SDDMM sweep: dz rows in bin order (fake/pad row ids clamp to dz's
+    # zero row n_out-1), per-slot grads, gathered back per edge
+    dz_bin = dz[rows]
+    dslot = _bell_slot_grads(bell, x, dz_bin)
+    devals = jnp.concatenate(
+        [dslot, jnp.zeros(1, dslot.dtype)]
+    )[slot_of_edge].astype(evals.dtype)
+    return (
+        _bell_zeros_ct(bell),
+        _bell_zeros_ct(t_bell),
+        _float0_like(rows),
+        _float0_like(edge_perm),
+        _float0_like(t_edge_perm),
+        _float0_like(slot_of_edge),
+        devals,
+        dx,
+    )
+
+
+_spmm_ev_bell.defvjp(_spmm_ev_bell_fwd, _spmm_ev_bell_bwd)
 
 
 # --------------------------------------------------------------------------- #
@@ -802,8 +908,15 @@ def spmm_ev(g: Graph, vals: jax.Array, x: jax.Array) -> jax.Array:
     (reference: src/codegen/common.h:863-892).
     """
     if g.strategy == "spmd":
-        from gala_tpu.parallel.ops import spmd_spmm_ev, spmd_spmm_halo
+        from gala_tpu.parallel.ops import (
+            spmd_spmm_ev, spmd_spmm_ev_bell, spmd_spmm_halo,
+        )
 
+        if (
+            getattr(g, "bell", None) is not None
+            and g.bell.edge_perm is not None
+        ):
+            return spmd_spmm_ev_bell(g, vals, x)
         if g.use_halo:
             # the halo kernel has no custom VJP: gradients flow to the
             # learned edge values and the features alike

@@ -106,17 +106,25 @@ def shard_compiled(
     has_attn = any(
         n.op is ComputeOp.FUSED_ATTENTION for n in cm.program.all_nodes()
     )
+    # learned / precomputed per-edge values (sparse-rewrite product,
+    # unfused GAT chain) need the slot<->edge permutations on the bell
+    # layouts — same detection as lowering.lower
+    has_ev = any(
+        n.op in (ComputeOp.AGGREGATE_EDGE_SUM, ComputeOp.AGGREGATE_EDGE_MUL)
+        or (n.op is ComputeOp.AGGREGATE_MUL_SUM and len(n.inputs) >= 3)
+        for n in cm.program.all_nodes()
+    )
+    bell_kw = dict(
+        use_halo=use_halo, use_bell=use_bell,
+        attention=use_bell and has_attn, edge_vals=use_bell and has_ev,
+    )
     n_layers = cm.spec.num_layers
-    sg = ShardedGraph.from_host(cm.host_graph, n_shards, use_halo=use_halo,
-                                use_bell=use_bell,
-                                attention=use_bell and has_attn)
+    sg = ShardedGraph.from_host(cm.host_graph, n_shards, **bell_kw)
     full_graphs = [sg] * n_layers
     train_graphs = None
     if cm.host_train_graphs is not None:
         train_graphs = [
-            ShardedGraph.from_host(s, n_shards, use_halo=use_halo,
-                                   use_bell=use_bell,
-                                   attention=use_bell and has_attn)
+            ShardedGraph.from_host(s, n_shards, **bell_kw)
             for s in cm.host_train_graphs
         ]
         # SPMD requires identical shapes per shard across graphs of one

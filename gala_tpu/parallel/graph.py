@@ -63,19 +63,27 @@ class ShardedBell:
     # count and CLAMP to the table's zero row when used as gather
     # indices) — the attention executor's AttnBell.rows
     rows: jax.Array | None = None  # (S * n_rows_total,) int32
+    # learned-edge-value support (ops.spmm._spmm_ev_bell): per-slot
+    # shard-edge position (pad slots -> Es) and its inverse (pad edges
+    # -> s_total) — slot values gather from the runtime evals vector,
+    # and per-edge gradients gather back from per-slot grads; both
+    # directions scatter-free
+    edge_perm: jax.Array | None = None     # (S * s_total,) int32
+    slot_of_edge: jax.Array | None = None  # (S * Es,) int32
 
     def tree_flatten(self):
         return (
             (self.flat_cols, self.bin_vals, self.big_vals, self.big_vrow,
-             self.out_index, self.rows),
+             self.out_index, self.rows, self.edge_perm, self.slot_of_edge),
             (self.bin_ks, self.bin_counts, self.n_big, self.s_total,
              self.n_out),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *main, rows = children
-        return cls(*main, *aux, rows=rows)
+        *main, rows, edge_perm, slot_of_edge = children
+        return cls(*main, *aux, rows=rows, edge_perm=edge_perm,
+                   slot_of_edge=slot_of_edge)
 
     def view(self):
         """The per-shard BellDev (call inside shard_map, where the
@@ -99,7 +107,8 @@ class ShardedBell:
 
 
 def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int,
-                        with_rows: bool = False, occupancy: bool = False):
+                        with_rows: bool = False, occupancy: bool = False,
+                        eids_lists=None, n_edges: int = 0):
     """Stacked shard-uniform binned-ELL layouts from per-shard edges.
 
     edge_lists: per shard (dst, src, vals) REAL edges — dst in
@@ -154,8 +163,8 @@ def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int,
             max(vb + 2 * (nb_t - int(c[-1])) for c, vb in stats),
         )
 
-    hbs = []
-    for (dst, src, vals), (cnt, vb) in zip(edge_lists, stats):
+    hbs, slot_eids = [], []
+    for si, ((dst, src, vals), (cnt, vb)) in enumerate(zip(edge_lists, stats)):
         fake_deg = []
         for c in range(n_cls):
             fake_deg.extend([BIN_SIZES[c]] * int(cnt_t[c] - cnt[c]))
@@ -166,6 +175,10 @@ def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int,
             fake_deg.extend([2 * K_BIG] * (fake_nb - 1))
             fake_deg.append(K_BIG * (fake_vb - 2 * (fake_nb - 1)))
         n_fake = len(fake_deg)
+        eids = (
+            np.asarray(eids_lists[si], np.int64)
+            if eids_lists is not None else None
+        )
         if n_fake:
             fdst = np.repeat(
                 np.arange(n_rows_out, n_rows_out + n_fake, dtype=np.int64),
@@ -179,9 +192,37 @@ def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int,
                 [np.asarray(vals, np.float32),
                  np.zeros(fdst.shape[0], np.float32)]
             )
-        g = coo_to_csr(src, dst, vals, n_rows=n_rows_out + n_fake,
-                       n_cols=n_tab + 1)
-        hbs.append(build_binned_ell(g, phantom_col=n_tab, split_diag=False))
+            if eids is not None:
+                eids = np.concatenate(
+                    [eids, np.full(fdst.shape[0], n_edges, np.int64)]
+                )
+        if eids is None:
+            g = coo_to_csr(src, dst, vals, n_rows=n_rows_out + n_fake,
+                           n_cols=n_tab + 1)
+            hbs.append(
+                build_binned_ell(g, phantom_col=n_tab, split_diag=False)
+            )
+            continue
+        # edge-value mode: sort manually so each slot's flat_edge maps
+        # back to its SHARD-edge position (coo_to_csr hides its sort)
+        order_e = np.argsort(dst, kind="stable")
+        e_tot = dst.shape[0]
+        counts = np.bincount(dst, minlength=n_rows_out + n_fake)
+        rp = np.zeros(n_rows_out + n_fake + 1, np.int64)
+        np.cumsum(counts, out=rp[1:])
+        g = HostCSR(
+            n_rows=n_rows_out + n_fake, n_cols=n_tab + 1, row_ptr=rp,
+            dst=dst[order_e].astype(np.int32),
+            src=src[order_e].astype(np.int32),
+            vals=np.asarray(vals, np.float32)[order_e],
+        )
+        hb = build_binned_ell(g, phantom_col=n_tab, split_diag=False,
+                              with_edge_ids=True)
+        lookup = np.concatenate(
+            [eids[order_e], [n_edges]]
+        )  # pad slots: flat_edge == e_tot -> sentinel n_edges
+        slot_eids.append(lookup[hb.flat_edge].astype(np.int32))
+        hbs.append(hb)
 
     h0 = hbs[0]
     for h in hbs[1:]:
@@ -228,7 +269,27 @@ def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int,
             )
             if with_rows else None
         ),
+        edge_perm=(
+            jnp.asarray(np.concatenate(slot_eids))
+            if eids_lists is not None else None
+        ),
+        slot_of_edge=(
+            jnp.asarray(np.concatenate([
+                _invert_slot_eids(se, n_edges) for se in slot_eids
+            ]))
+            if eids_lists is not None else None
+        ),
     )
+
+
+def _invert_slot_eids(slot_eid: np.ndarray, n_edges: int) -> np.ndarray:
+    """slot index per shard-edge position (edges not in the layout —
+    shard padding — point at the appended zero slot s_total)."""
+    s_total = slot_eid.shape[0]
+    soe = np.full(n_edges, s_total, np.int32)
+    real = slot_eid < n_edges
+    soe[slot_eid[real]] = np.nonzero(real)[0].astype(np.int32)
+    return soe
 
 
 @jax.tree_util.register_pytree_node_class
@@ -314,7 +375,8 @@ class ShardedGraph:
     def from_host(cls, g: HostCSR, n_shards: int,
                   use_halo: bool = False,
                   use_bell: bool = False,
-                  attention: bool = False) -> "ShardedGraph":
+                  attention: bool = False,
+                  edge_vals: bool = False) -> "ShardedGraph":
         if use_bell:
             use_halo = True  # the bell layouts index the [local|halo] table
         n = g.n_rows
@@ -389,15 +451,20 @@ class ShardedGraph:
         bell = t_bell = attn_bell = attn_t_bell = None
         if use_bell:
             n_tab = r + n_shards * h
-            fwd_lists, t_lists = [], []
+            fwd_lists, t_lists, eids_lists = [], [], []
             for s in range(n_shards):
                 m = reals[s]
                 fwd_lists.append((dstl[s][m], src_halo[s][m], vals[s][m]))
                 t_lists.append((src_halo[s][m], dstl[s][m], vals[s][m]))
-            bell = _build_sharded_bell(fwd_lists, r, n_tab)
+                eids_lists.append(np.nonzero(m)[0].astype(np.int64))
+            ev_kw = (
+                dict(eids_lists=eids_lists, n_edges=es, with_rows=True)
+                if edge_vals else {}
+            )
+            bell = _build_sharded_bell(fwd_lists, r, n_tab, **ev_kw)
             # transpose side: rows = table positions, gathered values =
             # dz rows (dz's appended zero row at index r is the phantom)
-            t_bell = _build_sharded_bell(t_lists, n_tab, r)
+            t_bell = _build_sharded_bell(t_lists, n_tab, r, **ev_kw)
             if attention:
                 attn_bell = _build_sharded_bell(
                     fwd_lists, r, n_tab, with_rows=True, occupancy=True

@@ -93,6 +93,28 @@ def spmd_spmm_bell(g, x_shard):
     return out[:r]
 
 
+def spmd_spmm_ev_bell(g, evals, x_shard):
+    """Learned-edge-value aggregation, scatter-free (see
+    ops.spmm._spmm_ev_bell): same halo table as spmd_spmm_bell; evals is
+    this shard's (Es,) edge vector (ShardedGraph edge order)."""
+    from gala_tpu.ops.spmm import _spmm_ev_bell
+
+    f = x_shard.shape[1]
+    r, s, h = g.rows_per_shard, g.n_shards, g.halo
+    send = x_shard[g.send_idx.reshape(-1)].reshape(s, h, f)
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+    tab = jnp.concatenate(
+        [x_shard, recv.reshape(s * h, f), jnp.zeros((1, f), x_shard.dtype)],
+        axis=0,
+    )
+    out = _spmm_ev_bell(
+        g.bell.n_out, g.t_bell.n_out, g.bell.view(), g.t_bell.view(),
+        g.bell.rows, g.bell.edge_perm, g.t_bell.edge_perm,
+        g.bell.slot_of_edge, evals, tab,
+    )
+    return out[:r]
+
+
 def spmd_spmm_ev(src, dst_local, evals, x_shard, rows_per_shard):
     """SpMM with learned edge values (GAT path), same gather structure."""
     x_full = jax.lax.all_gather(x_shard, AXIS, tiled=True)
