@@ -303,3 +303,21 @@ def test_spmd_bell_edge_values_unfused_gat_grads():
         np.testing.assert_allclose(
             np.asarray(a1), np.asarray(a0), rtol=5e-4, atol=5e-4
         )
+
+
+def test_spmd_tp_composes_with_bell():
+    """DP x TP (Megatron FFN splits over 'model') composes with the
+    scatter-free bell aggregation over 'data'."""
+    cm = _compile("gcn")
+    logits, params = _single_logits(cm)
+    sm = shard_compiled(cm, mesh=make_mesh(8, model_axis=2), use_bell=True)
+    n = cm.host_graph.n_rows
+    with sm.mesh:
+        carry = jax.jit(sm.invariant)(sm.full_graphs, sm.x)
+        lg = jax.jit(sm.forward)(params, sm.full_graphs, carry)
+    np.testing.assert_allclose(
+        np.asarray(lg[:n], np.float32), np.asarray(logits[:n], np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+    res = sm.train(iters=20)
+    assert res.max_accuracy > 0.75, res.max_accuracy
