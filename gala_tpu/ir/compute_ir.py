@@ -155,3 +155,19 @@ class Program:
 
     def all_nodes(self) -> list[ComputeNode]:
         return [*self.pre, *(self.loop.nodes if self.loop else [])]
+
+
+def uses_fused_attention(prog: Program) -> bool:
+    """The attention_fusion pass emitted FUSED_ATTENTION ops."""
+    return any(n.op is ComputeOp.FUSED_ATTENTION for n in prog.all_nodes())
+
+
+def uses_edge_values(prog: Program) -> bool:
+    """The program aggregates with learned/precomputed per-edge values
+    (sparse-rewrite product, unfused GAT chain) — the layouts need the
+    slot<->edge permutations (spmm_ev paths)."""
+    return any(
+        n.op in (ComputeOp.AGGREGATE_EDGE_SUM, ComputeOp.AGGREGATE_EDGE_MUL)
+        or (n.op is ComputeOp.AGGREGATE_MUL_SUM and len(n.inputs) >= 3)
+        for n in prog.all_nodes()
+    )

@@ -172,14 +172,10 @@ def lower(
     # graphs with learned per-edge values (GAT) need the slot->edge-id
     # permutation only the row-split ELL keeps — unless the attention
     # chain was fused into the slot-space op (attention_fusion pass)
-    edge_vals = any(
-        n.op in (ComputeOp.AGGREGATE_EDGE_SUM, ComputeOp.AGGREGATE_EDGE_MUL)
-        or (n.op is ComputeOp.AGGREGATE_MUL_SUM and len(n.inputs) >= 3)
-        for n in prog.all_nodes()
-    )
-    attention = any(
-        n.op is ComputeOp.FUSED_ATTENTION for n in prog.all_nodes()
-    )
+    from gala_tpu.ir.compute_ir import uses_edge_values, uses_fused_attention
+
+    edge_vals = uses_edge_values(prog)
+    attention = uses_fused_attention(prog)
     nh = max(int(getattr(spec, "attention_heads", 1)), 1)
     if nh > 1:
         # multi-head rides the fused op's shared slot gather; the

@@ -605,31 +605,38 @@ def _with_slot_vals(bell, slot_flat):
 
 def _bell_slot_grads(bell, x, dz_bin):
     """Per-slot gradients sum_f x[col_s] * dz[row_s] (the SDDMM sweep of
-    the edge-value backward), flat (s_total,) in slot order."""
+    the edge-value backward), flat (s_total,) in slot order.
+
+    Rows above the gathered-buffer budget process in chunks so the
+    (rows, k, f) float32 gather temp stays bounded — the same budget
+    the forward's chunked reducer uses (_BELL_CHUNK_ELEMS)."""
+    f = x.shape[1]
+
+    def seg_grads(off, rows, k, dz_rows):
+        rows_c = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
+        outs = []
+        for lo in range(0, rows, rows_c):
+            hi = min(rows, lo + rows_c)
+            cols = jax.lax.slice_in_dim(
+                bell.flat_cols, off + lo * k, off + hi * k
+            ).reshape(hi - lo, k)
+            seg = x[cols].astype(jnp.float32)
+            dzc = jax.lax.slice_in_dim(dz_rows, lo, hi).astype(jnp.float32)
+            # multiply+reduce, not a batched-contraction einsum
+            # (Mosaic/MXU lowers those to tiny batched matmuls)
+            outs.append(jnp.sum(seg * dzc[:, None, :], axis=-1).reshape(-1))
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
     parts, off, r0 = [], 0, 0
-    segs = list(zip(bell.bin_ks, bell.bin_counts))
-    if bell.n_big:
-        vb, kb = bell.big_vals.shape
-    for k, nb in segs:
-        cols = jax.lax.slice_in_dim(
-            bell.flat_cols, off, off + nb * k
-        ).reshape(nb, k)
-        seg = x[cols].astype(jnp.float32)
-        dzc = jax.lax.slice_in_dim(dz_bin, r0, r0 + nb).astype(jnp.float32)
-        # multiply+reduce, not a batched-contraction einsum (Mosaic/MXU
-        # lowers those to tiny batched matmuls)
-        parts.append(jnp.sum(seg * dzc[:, None, :], axis=-1).reshape(-1))
+    for k, nb in zip(bell.bin_ks, bell.bin_counts):
+        dzc = jax.lax.slice_in_dim(dz_bin, r0, r0 + nb)
+        parts.append(seg_grads(off, nb, k, dzc))
         off += nb * k
         r0 += nb
     if bell.n_big:
-        cols = jax.lax.slice_in_dim(
-            bell.flat_cols, off, off + vb * kb
-        ).reshape(vb, kb)
-        seg = x[cols].astype(jnp.float32)
-        dzc = jax.lax.slice_in_dim(dz_bin, r0, r0 + bell.n_big)[
-            bell.big_vrow
-        ].astype(jnp.float32)
-        parts.append(jnp.sum(seg * dzc[:, None, :], axis=-1).reshape(-1))
+        vb, kb = bell.big_vals.shape
+        dzc = jax.lax.slice_in_dim(dz_bin, r0, r0 + bell.n_big)[bell.big_vrow]
+        parts.append(seg_grads(off, vb, kb, dzc))
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 

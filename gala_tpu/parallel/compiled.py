@@ -101,19 +101,10 @@ def shard_compiled(
     # graph/node arrays shard over 'data' only; 'model' shards features
     n_shards = int(mesh.shape["data"])
 
-    from gala_tpu.ir.compute_ir import ComputeOp
+    from gala_tpu.ir.compute_ir import uses_edge_values, uses_fused_attention
 
-    has_attn = any(
-        n.op is ComputeOp.FUSED_ATTENTION for n in cm.program.all_nodes()
-    )
-    # learned / precomputed per-edge values (sparse-rewrite product,
-    # unfused GAT chain) need the slot<->edge permutations on the bell
-    # layouts — same detection as lowering.lower
-    has_ev = any(
-        n.op in (ComputeOp.AGGREGATE_EDGE_SUM, ComputeOp.AGGREGATE_EDGE_MUL)
-        or (n.op is ComputeOp.AGGREGATE_MUL_SUM and len(n.inputs) >= 3)
-        for n in cm.program.all_nodes()
-    )
+    has_attn = uses_fused_attention(cm.program)
+    has_ev = uses_edge_values(cm.program)
     bell_kw = dict(
         use_halo=use_halo, use_bell=use_bell,
         attention=use_bell and has_attn, edge_vals=use_bell and has_ev,

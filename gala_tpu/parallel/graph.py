@@ -148,20 +148,26 @@ def _build_sharded_bell(edge_lists, n_rows_out: int, n_tab: int,
     cnt_t = np.max([c for c, _ in stats], axis=0)
     nb_t = int(cnt_t[-1])
     vb_t = max(vb for _, vb in stats)
-    # a shard already at the hub-count target cannot add virtual rows
-    # without adding a hub — bump the target so every shard gets >= 1
-    # fake hub, then retarget vb so each shard's deficit is >= 2 per
-    # fake hub (a fake hub's smallest degree, BIN_SIZES[-1]+1, already
-    # yields 2 virtual rows)
-    if nb_t and any(
-        int(c[-1]) == nb_t and vb < vb_t for c, vb in stats
-    ) and any(vb < vb_t for _, vb in stats):
-        nb_t += 1
-    if nb_t:
-        vb_t = max(
-            vb_t,
-            max(vb + 2 * (nb_t - int(c[-1])) for c, vb in stats),
-        )
+
+    def _feasible():
+        # every shard must be able to reach (nb_t, vb_t) with fake hubs
+        # of >= 2 virtual rows each (a fake hub's smallest qualifying
+        # degree, > BIN_SIZES[-1], already yields 2 virtual rows); a
+        # shard with no hub deficit cannot add virtual rows at all
+        for c, vb in stats:
+            fn, fv = nb_t - int(c[-1]), vb_t - vb
+            if (fn == 0 and fv != 0) or (fn > 0 and fv < 2 * fn):
+                return False
+        return True
+
+    if nb_t and not _feasible():
+        # bump so EVERY shard gets >= 1 fake hub, then retarget vb to
+        # each shard's minimum reachable total — always feasible: each
+        # deficit is >= 2 per fake hub by maxness, and the last fake hub
+        # absorbs any remainder (degree K_BIG * v gives v virtual rows)
+        nb_t = max(int(c[-1]) for c, _ in stats) + 1
+        vb_t = max(vb + 2 * (nb_t - int(c[-1])) for c, vb in stats)
+        assert _feasible(), (nb_t, vb_t, stats)
 
     hbs, slot_eids = [], []
     for si, ((dst, src, vals), (cnt, vb)) in enumerate(zip(edge_lists, stats)):

@@ -70,27 +70,34 @@ def spmd_spmm_halo(src_halo, dst_local, vals, x_shard, send_idx,
     return out[:r]
 
 
-def spmd_spmm_bell(g, x_shard):
-    """Scatter-free per-shard aggregation: halo all_to_all builds the
-    per-shard [local | halo | zero] table, then the shard's binned-ELL
-    layouts run ops.spmm._spmm_bell — the same scatter-free custom-VJP
-    reduce as single-chip (forward bins + transpose layout backward),
-    measured ~2x the sorted-segment-sum scatter rate on the v5e
-    (docs/PERF_NOTES.md).  Autodiff reverses the table concat and the
-    all_to_all, so halo gradients flow back to their owner shards."""
-    from gala_tpu.ops.spmm import _spmm_bell
-
-    f = x_shard.shape[1]
-    r, s, h = g.rows_per_shard, g.n_shards, g.halo
-    send = x_shard[g.send_idx.reshape(-1)].reshape(s, h, f)
+def _halo_table(g, rows):
+    """The per-shard [local | halo | zero] gather table: send each
+    peer's boundary rows (all_to_all over ICI) and append the zero
+    phantom row the bell layouts index at n_tab.  Autodiff reverses the
+    concat and the all_to_all, so halo-row gradients flow back to their
+    owner shards."""
+    f = rows.shape[1]
+    s, h = g.n_shards, g.halo
+    send = rows[g.send_idx.reshape(-1)].reshape(s, h, f)
     recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
-    tab = jnp.concatenate(
-        [x_shard, recv.reshape(s * h, f), jnp.zeros((1, f), x_shard.dtype)],
+    return jnp.concatenate(
+        [rows, recv.reshape(s * h, f), jnp.zeros((1, f), rows.dtype)],
         axis=0,
     )
+
+
+def spmd_spmm_bell(g, x_shard):
+    """Scatter-free per-shard aggregation: the shard's binned-ELL
+    layouts over the halo table run ops.spmm._spmm_bell — the same
+    scatter-free custom-VJP reduce as single-chip (forward bins +
+    transpose layout backward), measured ~2x the sorted-segment-sum
+    scatter rate on the v5e (docs/PERF_NOTES.md)."""
+    from gala_tpu.ops.spmm import _spmm_bell
+
+    tab = _halo_table(g, x_shard)
     out = _spmm_bell(g.bell.n_out, g.t_bell.n_out, g.bell.view(),
                      g.t_bell.view(), tab)
-    return out[:r]
+    return out[: g.rows_per_shard]
 
 
 def spmd_spmm_ev_bell(g, evals, x_shard):
@@ -99,20 +106,13 @@ def spmd_spmm_ev_bell(g, evals, x_shard):
     this shard's (Es,) edge vector (ShardedGraph edge order)."""
     from gala_tpu.ops.spmm import _spmm_ev_bell
 
-    f = x_shard.shape[1]
-    r, s, h = g.rows_per_shard, g.n_shards, g.halo
-    send = x_shard[g.send_idx.reshape(-1)].reshape(s, h, f)
-    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
-    tab = jnp.concatenate(
-        [x_shard, recv.reshape(s * h, f), jnp.zeros((1, f), x_shard.dtype)],
-        axis=0,
-    )
+    tab = _halo_table(g, x_shard)
     out = _spmm_ev_bell(
         g.bell.n_out, g.t_bell.n_out, g.bell.view(), g.t_bell.view(),
         g.bell.rows, g.bell.edge_perm, g.t_bell.edge_perm,
         g.bell.slot_of_edge, evals, tab,
     )
-    return out[:r]
+    return out[: g.rows_per_shard]
 
 
 def spmd_spmm_ev(src, dst_local, evals, x_shard, rows_per_shard):
@@ -163,17 +163,10 @@ def spmd_attention(g, x_shard, vl_shard, vr_shard, slope):
         # table row n_tab), which the occupancy masks make inert.
         from gala_tpu.ops.attention import AttnBell, attention_aggregate
 
-        s, h = g.n_shards, g.halo
         xx_loc = jnp.concatenate(
             [x_shard, vl_shard.astype(x_shard.dtype)], axis=1
         )
-        send = xx_loc[g.send_idx.reshape(-1)].reshape(s, h, f)
-        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
-        tab = jnp.concatenate(
-            [xx_loc, recv.reshape(s * h, f),
-             jnp.zeros((1, f), xx_loc.dtype)],
-            axis=0,
-        )
+        tab = _halo_table(g, xx_loc)
         ab = AttnBell(
             fwd=g.attn_bell.view(),
             t=g.attn_t_bell.view(),

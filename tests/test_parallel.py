@@ -128,3 +128,30 @@ def test_halo_volume_bounded(small_dataset):
     # halo rows per pair never exceed the shard row count
     assert sg.halo <= sg.rows_per_shard + 8
     assert sg.send_idx.shape == (16, sg.halo)
+
+
+def test_sharded_bell_skewed_hub_unification():
+    """Hub-target feasibility (review finding): shard A at the hub-count
+    max with vb == initial vb_t, shard B below the count but needing a
+    LARGER vb after padding — the naive retarget left A unable to pad.
+    Both shards must produce identical static structure."""
+    import numpy as np
+
+    from gala_tpu.parallel.graph import _build_sharded_bell
+
+    rng = np.random.default_rng(0)
+    r, n_tab = 16, 64
+
+    def edges(degs):
+        dst = np.repeat(np.arange(len(degs), dtype=np.int64), degs)
+        src = rng.integers(0, n_tab, dst.shape[0])
+        return dst, src, np.ones(dst.shape[0], np.float32)
+
+    # shard 0: 3 hubs x 2 virtual rows (nb=3, vb=6); shard 1: 1 hub x 6
+    # virtual rows (nb=1, vb=6) -> naive vb retarget to 1+2*2... breaks
+    sb = _build_sharded_bell([edges([200, 200, 200]), edges([700])],
+                             r, n_tab)
+    assert sb.flat_cols.shape[0] == 2 * sb.s_total
+    assert sb.out_index.shape[0] == 2 * sb.n_out
+    # (structure assertions; value parity is covered by the virtual-mesh
+    # SPMD suites)
