@@ -1,4 +1,5 @@
-"""Benchmark entry point — prints ONE JSON line.
+"""Benchmark entry point — prints ONE JSON line (plus an optional
+enriched second line when the wall-clock budget allows).
 
 Metric: full-graph GCN training throughput in edges/second (per-epoch
 aggregated edges / mean epoch time, the reference's timing protocol:
@@ -9,6 +10,16 @@ vs_baseline: ratio against a DGL-equivalent XLA baseline implementing the
 same model with naive (unfused, gather/scatter autodiff) ops — the
 stand-in for the reference's DGL comparison until real GALA numbers can
 be produced on shared hardware (the repo publishes none, BASELINE.md).
+
+Contract discipline (round-2 lesson: rc=124 with nothing printed):
+  1. the health probe checks COMPILE health (jit a trivial fn in a
+     60s subprocess), not just device enumeration — a half-dead tunnel
+     enumerates fine but hangs every compile;
+  2. the headline JSON line prints the moment the two core sections
+     (compiled GCN + naive baseline) finish;
+  3. extras (BCOO baseline, GAT, roofline) only run if the elapsed
+     wall-clock is under GALA_BENCH_BUDGET_S (default 900 s), and
+     append a second, enriched JSON line that is also contract-valid.
 """
 from __future__ import annotations
 
@@ -18,20 +29,29 @@ import subprocess
 import sys
 import time
 
-# The axon TPU tunnel can die mid-session, and a dead tunnel makes any
-# backend init (even CPU-intended) hang forever in make_c_api_client.
-# Probe device health in a throwaway subprocess BEFORE importing jax
-# here; on failure fall back to CPU (sitecustomize never registers axon
-# when PALLAS_AXON_POOL_IPS is empty) and report the backend in the
-# JSON line so a CPU number is never mistaken for a TPU number.
+_T0 = time.time()
+BUDGET_S = float(os.environ.get("GALA_BENCH_BUDGET_S", "900"))
+
+# The axon TPU tunnel can die mid-session in two ways: (a) fully dead —
+# backend init hangs; (b) half-dead — device enumeration works but every
+# compile hangs or 500s.  Probe BOTH in a throwaway subprocess BEFORE
+# importing jax here; on failure fall back to CPU (sitecustomize never
+# registers axon when PALLAS_AXON_POOL_IPS is empty) and report the
+# backend in the JSON line so a CPU number is never mistaken for a TPU
+# number.
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp; "
+    "r = jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128))); "
+    "r.block_until_ready(); print('ok')"
+)
 _plat = os.environ.get("JAX_PLATFORMS", "")
 if _plat and "axon" not in _plat:
     pass  # caller explicitly pinned a non-TPU platform (e.g. cpu)
 else:
     try:
         subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=180, check=True, capture_output=True,
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=120, check=True, capture_output=True,
         )
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
         # sitecustomize already registered the (dead) axon platform in
@@ -40,7 +60,7 @@ else:
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["GALA_BENCH_BACKEND_NOTE"] = (
-            "cpu-fallback (TPU tunnel unreachable)"
+            "cpu-fallback (TPU tunnel compile-dead)"
         )
         os.execv(sys.executable, [sys.executable] + sys.argv)
 _BACKEND_NOTE = os.environ.pop("GALA_BENCH_BACKEND_NOTE", "default")
@@ -95,7 +115,7 @@ def main():
     n_edges = g_host.n_edges
     iters, warmup = (10, 2) if on_cpu else (30, 5)
 
-    # ---- gala_tpu compiled path ---------------------------------------- #
+    # ---- core section 1: gala_tpu compiled path ------------------------ #
     spec = parse_source(GCN_DSL)
     # bf16 activations: the TPU-native precision choice (params/loss stay
     # f32); accuracy parity is asserted in tests and the verify flow
@@ -103,7 +123,7 @@ def main():
     res = cm.train(iters=iters, warmup=warmup)
     gala_epoch = res.total_time
 
-    # ---- naive baseline path ------------------------------------------- #
+    # ---- core section 2: naive baseline path --------------------------- #
     n = g_host.n_rows
     src = jnp.asarray(g_host.src.astype(np.int32))
     dst = jnp.asarray(g_host.dst.astype(np.int32))
@@ -148,7 +168,25 @@ def main():
         params, opt_state, loss = base_step(params, opt_state)
     base_epoch = timer.stop(loss, n=iters - warmup)
 
-    # ---- second (stock-library) baseline: jax.experimental.sparse ------ #
+    edges_per_s = n_edges / gala_epoch if gala_epoch > 0 else 0.0
+    backend = (
+        jax.default_backend() if _BACKEND_NOTE == "default" else _BACKEND_NOTE
+    )
+    headline = {
+        "metric": "gcn_arxiv_train_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(base_epoch / gala_epoch, 3) if gala_epoch else 0.0,
+        "dtype": args.dtype,
+        "backend": backend,
+    }
+    # CONTRACT: the headline prints NOW — everything below is optional.
+    print(json.dumps(headline), flush=True)
+
+    if time.time() - _T0 > BUDGET_S:
+        return
+
+    # ---- extra 1: stock-library baseline: jax.experimental.sparse ------ #
     # The same GCN written the way a plain-JAX user would: adjacency as a
     # BCOO matrix, aggregation as `A @ X`.  Unlike the hand-written naive
     # baseline above, this code is not ours — it is what the ecosystem
@@ -201,8 +239,6 @@ def main():
     except Exception:
         bcoo_epoch = 0.0  # BCOO unsupported on this backend: omit the row
 
-    edges_per_s = n_edges / gala_epoch if gala_epoch > 0 else 0.0
-
     # ---- roofline accounting (BASELINE.md: "SpMM GB/s per chip
     # approaching HBM speed-of-light").  Dominant epoch traffic is the
     # slot gathers of the 4 aggregation sweeps (2 layers forward + 2
@@ -229,35 +265,34 @@ def main():
     gbps = bytes_epoch / gala_epoch / 1e9 if gala_epoch > 0 else 0.0
     HBM_SOL_GBPS = 819.0
 
-    # ---- second model row: GAT (same dataset/protocol) ---------------- #
+    enriched = dict(headline)
+    enriched.update(
+        vs_bcoo=round(bcoo_epoch / gala_epoch, 3)
+        if gala_epoch and bcoo_epoch else 0.0,
+        gather_gbps=round(gbps, 1),
+        pct_hbm_sol=round(100.0 * gbps / HBM_SOL_GBPS, 1),
+    )
+
+    if time.time() - _T0 > BUDGET_S:
+        print(json.dumps(enriched), flush=True)
+        return
+
+    # ---- extra 2: second model row: GAT (same dataset/protocol) -------- #
     from __graft_entry__ import GAT_DSL
 
-    gat_spec = parse_source(GAT_DSL)
-    cm_gat = lower(gat_spec, mode="train", data=data, dtype=act_dtype)
-    res_gat = cm_gat.train(iters=iters, warmup=warmup)
-    gat_epoch = res_gat.total_time
-    gat_edges_per_s = n_edges / gat_epoch if gat_epoch > 0 else 0.0
-
-    print(
-        json.dumps(
-            {
-                "metric": "gcn_arxiv_train_edges_per_s",
-                "value": round(edges_per_s, 1),
-                "unit": "edges/s",
-                "vs_baseline": round(base_epoch / gala_epoch, 3) if gala_epoch else 0.0,
-                "vs_bcoo": round(bcoo_epoch / gala_epoch, 3)
-                if gala_epoch and bcoo_epoch
-                else 0.0,
-                "gather_gbps": round(gbps, 1),
-                "pct_hbm_sol": round(100.0 * gbps / HBM_SOL_GBPS, 1),
-                "gat_edges_per_s": round(gat_edges_per_s, 1),
-                "gat_vs_gcn_epoch": round(gat_epoch / gala_epoch, 2) if gala_epoch else 0.0,
-                "dtype": args.dtype,
-                "backend": jax.default_backend()
-                if _BACKEND_NOTE == "default" else _BACKEND_NOTE,
-            }
+    try:
+        gat_spec = parse_source(GAT_DSL)
+        cm_gat = lower(gat_spec, mode="train", data=data, dtype=act_dtype)
+        res_gat = cm_gat.train(iters=iters, warmup=warmup)
+        gat_epoch = res_gat.total_time
+        enriched.update(
+            gat_edges_per_s=round(n_edges / gat_epoch, 1) if gat_epoch else 0.0,
+            gat_vs_gcn_epoch=round(gat_epoch / gala_epoch, 2) if gala_epoch else 0.0,
         )
-    )
+    except Exception:
+        pass  # GAT row is optional; the enriched line still prints
+
+    print(json.dumps(enriched), flush=True)
 
 
 if __name__ == "__main__":

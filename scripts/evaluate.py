@@ -107,6 +107,21 @@ def run_one(src: str, mode="train", iters=30, data=None, scale=1.0, **low_kw):
     return cm, res
 
 
+def data_kind(args, dataset: str) -> str:
+    """Provenance marker written into every accuracy-bearing CSV row, so
+    a synthetic stand-in accuracy is never silently diffed against the
+    reference's real-dataset numbers (VERDICT r2 'weak' #6).  'real'
+    only when --data-root points at an exported GALA npy dir for this
+    dataset (scripts/export_npy.py layout)."""
+    if args.data_root:
+        from gala_tpu.data.datasets import canonical_name
+
+        p = os.path.join(args.data_root, canonical_name(dataset), "Adj_src.npy")
+        if os.path.exists(p):
+            return "real"
+    return "synthetic"
+
+
 def append_csv(path: str, header: str, row: str):
     new = not os.path.exists(path)
     with open(path, "a") as f:
@@ -123,15 +138,17 @@ def job_fig16(args):
             src = make_dsl(model, dataset, iters=args.iters,
                            layers=args.layers[0], heads=args.heads)
             cm, res = run_one(src, iters=args.iters, scale=args.scale,
-                              strategy=args.strategy)
+                              strategy=args.strategy,
+                              data_root=args.data_root)
             label = model if args.heads <= 1 or model != "gat" else (
                 f"{model}-h{args.heads}"
             )
             if args.tag:
                 label = f"{label}-{args.tag}"
             append_csv(
-                out, "dataset,model,inference_time,total_time,accuracy",
-                f"{dataset},{label},{res.inference_time},{res.total_time},{res.max_accuracy}",
+                out, "dataset,model,inference_time,total_time,accuracy,data",
+                f"{dataset},{label},{res.inference_time},{res.total_time},"
+                f"{res.max_accuracy},{data_kind(args, dataset)}",
             )
 
 
@@ -215,12 +232,12 @@ def job_table6(args):
     out = os.path.join(args.outdir, "stat_table6.csv")
     ds = args.t6_dataset
     for frac in args.fractions:
-        src = make_dsl("gcn", ds)
+        src = make_dsl("gcn", ds, schedule="print_memory(true);\n")
         cm, res = run_one(src, iters=args.iters, scale=frac * args.scale,
                           dtype=args.jnp_dtype)
         append_csv(
-            out, "dataset,fraction,inference_time,total_time",
-            f"{ds},{frac},{res.inference_time},{res.total_time}",
+            out, "dataset,fraction,inference_time,total_time,memory_mb",
+            f"{ds},{frac},{res.inference_time},{res.total_time},{res.memory_mb}",
         )
 
 
@@ -234,10 +251,12 @@ def job_table7(args):
     }
     for label, sched in modes.items():
         src = make_dsl("gcn", args.datasets[0], schedule=sched + "print_accuracy(true);\n")
-        cm, res = run_one(src, iters=args.iters, scale=args.scale)
+        cm, res = run_one(src, iters=args.iters, scale=args.scale,
+                          data_root=args.data_root)
         append_csv(
-            out, "dataset,sampling,inference_time,accuracy",
-            f"{args.datasets[0]},{label},{res.inference_time},{res.max_accuracy}",
+            out, "dataset,sampling,inference_time,accuracy,data",
+            f"{args.datasets[0]},{label},{res.inference_time},"
+            f"{res.max_accuracy},{data_kind(args, args.datasets[0])}",
         )
 
 
@@ -279,6 +298,11 @@ def main():
     ap.add_argument("--tag", default="",
                     help="suffix appended to the fig16 model label so "
                          "strategy-variant rows stay distinguishable")
+    ap.add_argument("--data-root", default=None, dest="data_root",
+                    help="directory of real exported datasets "
+                         "(scripts/export_npy.py layout: <root>/<Name>/"
+                         "Adj_src.npy ...); rows carry data=real when "
+                         "found, data=synthetic otherwise")
     ap.add_argument("--outdir", default="results")
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu); set before "

@@ -9,6 +9,8 @@ from gala_tpu.data.csr import coo_to_csr, densify
 from gala_tpu.ops.attention import attention_aggregate
 from gala_tpu.ops.graph import Graph
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 SLOPE = 0.2
 
 

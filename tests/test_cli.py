@@ -5,6 +5,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 GCN = """
 G = load_dataset("TinyCli");
 aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);

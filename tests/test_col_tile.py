@@ -59,6 +59,7 @@ def test_col_tile_spmm_parity(small_dataset, strategy):
     )
 
 
+@pytest.mark.slow
 def test_col_tile_attention_parity(small_dataset):
     """col_tile forces the chunked attention path; results must match
     the flat path bit-for-bit-ish."""

@@ -13,6 +13,8 @@ import pytest
 
 import gala_tpu
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 CORPUS = "/root/reference/tests/GALA-DSL"
 
 REPRESENTATIVES = [

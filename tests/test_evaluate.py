@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 _SPEC = importlib.util.spec_from_file_location(
     "evaluate", os.path.join(os.path.dirname(__file__), "..", "scripts", "evaluate.py")
 )

@@ -16,6 +16,8 @@ from gala_tpu.export import (
     load_exported,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 GCN = """
 G = load_dataset("Cora");
 aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);

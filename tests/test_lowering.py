@@ -48,7 +48,12 @@ def test_lowered_gcn_matches_hand_model(small_dataset):
     np.testing.assert_allclose(low_out, hand_out, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("model", ["gcn", "gat", "gin", "sage"])
+@pytest.mark.parametrize("model", [
+    "gcn",
+    pytest.param("gat", marks=pytest.mark.slow),
+    pytest.param("gin", marks=pytest.mark.slow),
+    "sage",
+])
 @pytest.mark.parametrize("mode", ["inference", "train"])
 def test_compiled_model_trains(model, mode, small_dataset):
     cm = lower(_spec(model), mode=mode, data=small_dataset)
@@ -89,6 +94,7 @@ def test_subgraph_training_matches_full_on_train_loss(small_dataset):
     assert abs(specs[0] - specs[1]) < 1e-4
 
 
+@pytest.mark.slow
 def test_multihead_gat_dsl(small_dataset):
     """attention_heads(H) schedule directive: hidden GAT layers attend
     per-head feature slices through the one fused slot gather; the final

@@ -10,6 +10,8 @@ from gala_tpu.data.csr import coo_to_csr
 from gala_tpu.data.minibatch import NeighborSampler
 from gala_tpu.train_minibatch import forward_minibatch, train_sage_minibatch
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 
 def test_sampler_shapes_and_determinism(small_dataset):
     g, *_ = small_dataset

@@ -23,7 +23,10 @@ def setup(small_dataset):
     return g, x, y, tm, sm
 
 
-@pytest.mark.parametrize("name", list(MODELS))
+@pytest.mark.parametrize("name", [
+    n if n == "gcn" else pytest.param(n, marks=pytest.mark.slow)
+    for n in MODELS
+])
 def test_model_trains_to_accuracy(name, setup):
     g, x, y, tm, sm = setup
     mod = MODELS[name]
@@ -58,6 +61,7 @@ def test_csv_contract(setup):
     assert float(parts[0]) >= 0 and float(parts[1]) >= float(parts[0])
 
 
+@pytest.mark.slow
 def test_compiled_training_with_forced_chunking(monkeypatch):
     """Integration: the rolled-scan chunked kernels (attention sweeps,
     bell reduce, ELL, SDDMM) run INSIDE the epoch-fused lax.scan

@@ -8,6 +8,8 @@ import pytest
 
 from gala_tpu.ops.pallas.bell_spmm import BLK, bell_spmm_pallas, plan_chunks
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 
 def _case(n=200, nb=100, k=5, f=128, seed=0):
     rng = np.random.default_rng(seed)

@@ -14,6 +14,8 @@ import pytest
 
 from gala_tpu.ops.pallas.bell_spmm import bell_spmm_planned, make_plan
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 
 def _lower(fn, *args):
     jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))

@@ -15,9 +15,10 @@ from gala_tpu.parallel.graph import ShardedGraph
 from gala_tpu.parallel.mesh import make_mesh
 from gala_tpu.parallel.train import make_sharded_train_step
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices"),
+    pytest.mark.slow,  # 8-device compiles: excluded from the fast tier
+]
 
 
 @pytest.fixture(scope="module")

@@ -17,6 +17,8 @@ import gala_tpu
 from gala_tpu.parallel.compiled import shard_compiled
 from gala_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 _SPEC = importlib.util.spec_from_file_location(
     "evaluate", os.path.join(os.path.dirname(__file__), "..", "scripts", "evaluate.py")
 )

@@ -10,6 +10,8 @@ from gala_tpu.data.csr import densify
 from gala_tpu.ops.graph import Graph, choose_strategy
 from gala_tpu.ops.spmm import spmm, spmm_direct, spmm_ev
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 STRATEGIES = ["dense", "segment", "segment_scan", "ell", "bell"]
 
 

@@ -20,6 +20,8 @@ from gala_tpu.data.ell import build_binned_ell, build_stage_tables, stage_chunks
 from gala_tpu.ops.graph import Graph
 from gala_tpu.ops.spmm import spmm
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 
 @pytest.fixture()
 def force_stage(monkeypatch):
