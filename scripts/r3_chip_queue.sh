@@ -49,7 +49,7 @@ timeout 3600 python scripts/evaluate.py --job table6 --t6-dataset Papers100M \
 
 # 5. use_long (int64) end-to-end at scale — proves the long path
 #    (reference: gala_inference_long.cpp)
-timeout 3600 python -m gala_tpu inference_long examples/gcn.txt /tmp/gala_long_out \
+timeout 3600 python -m gala_tpu inference_long examples/gcn.txt \
     --scale 0.05 --iters 10 | tee results_r3/inference_long.txt
 
 # 6. multi-head GAT (BASELINE configs[2]: 3-layer 8-head on Arxiv)

@@ -24,7 +24,7 @@ def _args(tmp_path, **kw):
         iters=6, scale=0.02, datasets=["Cora"], models=["gcn"],
         fractions=[0.01], layers=[2], hidden=[8],
         outdir=str(tmp_path), platform=None,
-        t6_dataset="Cora", jnp_dtype=None,
+        t6_dataset="Cora", jnp_dtype=None, data_root=None,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -56,12 +56,14 @@ def test_fig18_schema(tmp_path):
 def test_table7_schema(tmp_path):
     evaluate.job_table7(_args(tmp_path))
     rows = _rows(tmp_path, "stat_table7.csv",
-                 "dataset,sampling,inference_time,accuracy")
+                 "dataset,sampling,inference_time,accuracy,data")
     assert [r[1] for r in rows] == ["none", "data", "kernel", "dynamic"]
+    assert all(r[4] == "synthetic" for r in rows)  # provenance marker
 
 
 def test_table6_schema(tmp_path):
     evaluate.job_table6(_args(tmp_path, fractions=[0.5, 1.0], scale=0.04))
     rows = _rows(tmp_path, "stat_table6.csv",
-                 "dataset,fraction,inference_time,total_time")
+                 "dataset,fraction,inference_time,total_time,memory_mb")
     assert [r[0] for r in rows] == ["Cora", "Cora"]
+    assert all(float(r[4]) > 0 for r in rows)  # memory_mb populated

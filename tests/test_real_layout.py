@@ -1,0 +1,126 @@
+"""Real-dataset offline-flow validation (VERDICT r2 item 7).
+
+The egress-blocked image cannot download Cora/Reddit/ogbn-*, so the
+documented flow is: run scripts/export_npy.py on any machine with
+egress, rsync the npy dir here, and point --data-root at it.  This
+module validates every seam of that flow against a checked-in 100-node
+sample written in the reference's exact on-disk layout
+(tests/fixtures/RealSample, generator: tests/fixtures/make_real_sample.py;
+layout: reference scripts/Data/gala_export_npy.py:60-160, reader parity:
+reference tests/common.h:293-366).  Format fidelity, not accuracy —
+accuracy parity needs the real bits.
+"""
+import os
+
+import numpy as np
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+SAMPLE = os.path.join(FIXTURES, "RealSample")
+
+
+def test_layout_files_and_dtypes():
+    """The seven files exist with the reference's dtypes and header scheme."""
+    adj_src = np.load(os.path.join(SAMPLE, "Adj_src.npy"))
+    adj_dst = np.load(os.path.join(SAMPLE, "Adj_dst.npy"))
+    assert adj_src.dtype == np.uint32 and adj_dst.dtype == np.uint32
+    n_rows, n_cols = int(adj_src[0]), int(adj_src[1])
+    assert n_rows == 100 and n_cols == 100
+    # header-prefixed ids + dst file carries exactly one id per edge
+    assert adj_src.shape[0] - 2 == adj_dst.shape[0]
+    feats = np.load(os.path.join(SAMPLE, "Feat.npy"))
+    assert feats.dtype == np.float32 and feats.shape == (100, 8)
+    lab = np.load(os.path.join(SAMPLE, "Lab.npy"))
+    assert lab.dtype == np.int64 and lab.shape == (100, 1)
+    for m in ("TnMsk.npy", "VlMsk.npy", "TsMsk.npy"):
+        arr = np.load(os.path.join(SAMPLE, m))
+        assert arr.dtype == np.int32 and arr.shape == (100, 1)
+
+
+def test_loader_roundtrip():
+    """load_gala_npy reads the layout; self-loops present; vals all 1."""
+    from gala_tpu.data.io import load_gala_npy
+
+    g, feats, labels, masks = load_gala_npy(SAMPLE)
+    assert g.n_rows == g.n_cols == 100
+    assert np.all(g.vals == 1.0)
+    # normalized self loops: every node has its loop edge
+    loops = g.src == g.dst
+    assert np.unique(g.src[loops]).size == 100
+    assert labels.shape == (100,) and labels.dtype == np.int64
+    for k in ("train", "val", "test"):
+        assert masks[k].dtype == bool and masks[k].shape == (100,)
+    assert masks["train"].sum() == 60
+
+
+def test_data_root_resolution_and_training():
+    """load_dataset(data_root=...) prefers the real dir over synthetic,
+    and the compiled pipeline trains end-to-end on it."""
+    from gala_tpu.data.datasets import load_dataset
+
+    data = load_dataset("RealSample", data_root=FIXTURES)
+    g, feats, labels, masks = data
+    assert g.n_rows == 100 and feats.shape == (100, 8)
+
+    import gala_tpu
+
+    src = (
+        'G = load_dataset("RealSample");\n'
+        "aggrFn = dsl.get_aggregate(fn = dsl.fn.mul_sum);\n"
+        "L1 = layer(G, hs, nonln_fn, aggregate_fn) {\n"
+        "    deg = G.graphs.degrees();\n"
+        "    norm = dsl.fn.pow(deg, -0.5);\n"
+        "    res = norm * G.node.feats;\n"
+        "    res = aggregate_fn(G.graphs, res);\n"
+        "    res = dsl.nn.ffn(res, out=hs);\n"
+        "    res = norm * res;\n"
+        "    G.node.feats = nonln_fn(res);\n"
+        "}\n"
+        "M1 = model(G, non_ln) {\n"
+        "    l1 = L1(G, 16, non_ln, aggrFn);\n"
+        "    l2 = L1(l1, G.labels.size(), null, aggrFn);\n"
+        "}\n"
+        "m1 = M1(G, dsl.non_ln.ReLU);\n"
+        "m1.train(iters=30, validation_step=5);\n"
+        "res = m1.eval();\n"
+    )
+    cm = gala_tpu.compile_source(src, mode="train", data_root=FIXTURES)
+    res = cm.train(iters=30)
+    assert np.isfinite(res.total_time)
+    assert res.max_accuracy > 0.5  # real-layout bits flow end to end
+
+
+def test_evaluate_marks_real_provenance(tmp_path):
+    """evaluate.py rows carry data=real when --data-root resolves."""
+    import argparse
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "evaluate",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "evaluate.py"),
+    )
+    evaluate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(evaluate)
+
+    args = argparse.Namespace(data_root=FIXTURES)
+    assert evaluate.data_kind(args, "RealSample") == "real"
+    assert evaluate.data_kind(args, "Reddit") == "synthetic"
+    assert evaluate.data_kind(argparse.Namespace(data_root=None), "RealSample") == "synthetic"
+
+
+def test_save_load_roundtrip_preserves_graph(tmp_path):
+    """save_gala_npy -> load_gala_npy is the identity on the sample."""
+    from gala_tpu.data.io import load_gala_npy, save_gala_npy
+
+    g, feats, labels, masks = load_gala_npy(SAMPLE)
+    out = str(tmp_path / "rt")
+    save_gala_npy(out, g, feats, labels, masks)
+    g2, feats2, labels2, masks2 = load_gala_npy(out)
+    assert g2.n_rows == g.n_rows and g2.n_edges == g.n_edges
+    np.testing.assert_array_equal(g2.row_ptr, g.row_ptr)
+    np.testing.assert_array_equal(g2.src, g.src)
+    np.testing.assert_array_equal(g2.dst, g.dst)
+    np.testing.assert_array_equal(feats2, feats)
+    np.testing.assert_array_equal(labels2, labels)
+    for k in masks:
+        np.testing.assert_array_equal(masks2[k], masks[k])
