@@ -121,6 +121,18 @@ def is_symmetric(g: HostCSR) -> bool:
         return False
     key_fwd = g.dst.astype(np.int64) * g.n_cols + g.src
     key_bwd = g.src.astype(np.int64) * g.n_rows + g.dst
+    if g.vals.size == 0 or np.all(g.vals == g.vals.flat[0]):
+        # constant values (the npy-layout convention sets all to 1):
+        # only structure matters — parallel native sort+compare when
+        # available (reference analog: OpenMP mtx_sort.h), else np.sort
+        # (beats argsort + two gathers ~2x at 46M edges)
+        from gala_tpu import native
+
+        if native.thread_count() > 1:  # 1-core hosts: np.sort wins
+            r = native.keys_symmetric_native(key_fwd, key_bwd)
+            if r is not None:
+                return r
+        return bool(np.array_equal(np.sort(key_fwd), np.sort(key_bwd)))
     of, ob = np.argsort(key_fwd), np.argsort(key_bwd)
     return bool(
         np.array_equal(key_fwd[of], key_bwd[ob])

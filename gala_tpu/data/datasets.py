@@ -48,6 +48,42 @@ def canonical_name(name: str) -> str:
     return _ALIASES.get(name, name)
 
 
+# bump when synthetic_like's generator changes (invalidates the cache)
+_GEN_VERSION = 1
+
+
+def _cache_dir() -> str | None:
+    d = os.environ.get("GALA_DATASET_CACHE")
+    if d == "":
+        return None  # explicitly disabled
+    return d or os.path.join(
+        os.path.expanduser("~"), ".cache", "gala_tpu", "datasets"
+    )
+
+
+def _cache_load(path: str):
+    from gala_tpu.data.csr import HostCSR
+
+    z = np.load(path)
+    g = HostCSR(
+        n_rows=int(z["n_rows"]), n_cols=int(z["n_cols"]),
+        row_ptr=z["row_ptr"], dst=z["dst"], src=z["src"], vals=z["vals"],
+    )
+    masks = {k: z[f"mask_{k}"] for k in ("train", "val", "test")}
+    return g, z["feats"], z["labels"], masks
+
+
+def _cache_save(path: str, data) -> None:
+    g, feats, labels, masks = data
+    tmp = path + ".tmp.npz"
+    np.savez(
+        tmp, n_rows=g.n_rows, n_cols=g.n_cols, row_ptr=g.row_ptr,
+        dst=g.dst, src=g.src, vals=g.vals, feats=feats, labels=labels,
+        **{f"mask_{k}": v for k, v in masks.items()},
+    )
+    os.replace(tmp, path)
+
+
 def load_dataset(
     name: str,
     data_root: str | None = None,
@@ -65,7 +101,29 @@ def load_dataset(
         n, e, f, c = REGISTRY[name]
         n = max(int(n * scale), 64)
         e = max(int(e * scale), 256)
-        return synthetic_like(n, e, f if scale >= 1.0 else min(f, 256), c, seed=seed)
+        f_eff = f if scale >= 1.0 else min(f, 256)
+        # large synthetic stand-ins cache to disk: the generator costs
+        # ~2 min at Products-0.25 scale and every evaluate.py job pays
+        # it again for the same (name, scale, seed)
+        cache = _cache_dir()
+        key = None
+        if cache and e >= 2_000_000:
+            key = os.path.join(
+                cache, f"{name}_v{_GEN_VERSION}_s{scale:g}_seed{seed}.npz"
+            )
+            if os.path.exists(key):
+                try:
+                    return _cache_load(key)
+                except Exception:
+                    pass  # stale/corrupt cache entry: regenerate
+        data = synthetic_like(n, e, f_eff, c, seed=seed)
+        if key is not None:
+            try:
+                os.makedirs(cache, exist_ok=True)
+                _cache_save(key, data)
+            except OSError:
+                pass  # cache is best-effort (read-only FS, disk full)
+        return data
 
     # unknown name: small default synthetic
     return synthetic_dataset(n=512, seed=seed)

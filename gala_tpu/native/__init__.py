@@ -89,6 +89,11 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.keys_symmetric_i64.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.keys_symmetric_i64.restype = ctypes.c_int
     lib.omp_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -247,3 +252,29 @@ def stage_dedup_native(cols, bounds):
         _ptr(local, ctypes.c_int32),
     )
     return uniq, counts, local
+
+
+def keys_symmetric_native(key_fwd, key_bwd):
+    """Parallel sorted-key equality (the is_symmetric hot path).
+
+    MUTATES both arrays (sorts in place).  Returns True/False, or None
+    when native is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    kf = np.ascontiguousarray(key_fwd, dtype=np.int64)
+    kb = np.ascontiguousarray(key_bwd, dtype=np.int64)
+    if kf.shape != kb.shape:
+        return False
+    r = lib.keys_symmetric_i64(kf.shape[0], _ptr(kf, ctypes.c_int64),
+                               _ptr(kb, ctypes.c_int64))
+    return bool(r)
+
+
+def thread_count() -> int:
+    """OpenMP thread count of the native library (1 = no parallelism;
+    callers use this to prefer NumPy's optimized serial sorts on
+    single-core hosts)."""
+    lib = _load()
+    return int(lib.omp_threads()) if lib is not None else 0

@@ -205,6 +205,57 @@ void plan_blocks_fill_i32(
     }
 }
 
+
+// Structural symmetry check: sort-free O(E) two-pass bucket compare.
+// Buckets edges by min(endpoint) into per-row slots using the caller's
+// row_ptr-style offsets would need CSR of the transpose; instead use a
+// parallel sort of 64-bit keys (merge of per-thread sorted runs is
+// overkill: std::sort per block + final pairwise compare via a second
+// full sort is what NumPy does single-threaded; here each half sorts on
+// its own thread team).  Returns 1 if sorted key arrays are equal.
+int keys_symmetric_i64(int64_t n_edges, int64_t* key_fwd, int64_t* key_bwd)
+{
+    // sort both halves concurrently, each with a parallel merge sort:
+    // split into T blocks, std::sort each, then iterative merges.
+#ifdef _OPENMP
+    const int t = omp_get_max_threads();
+#else
+    const int t = 1;
+#endif
+    int64_t* bufs[2] = {key_fwd, key_bwd};
+    int64_t* scratch = new int64_t[n_edges];
+    for (int which = 0; which < 2; ++which) {
+        int64_t* a = bufs[which];
+        const int64_t nb = t;
+        const int64_t bs = (n_edges + nb - 1) / nb;
+#pragma omp parallel for schedule(dynamic)
+        for (int64_t b = 0; b < nb; ++b) {
+            const int64_t lo = b * bs;
+            const int64_t hi = std::min(lo + bs, n_edges);
+            if (lo < hi) std::sort(a + lo, a + hi);
+        }
+        // iterative pairwise merges (log nb rounds)
+        for (int64_t width = bs; width < n_edges; width *= 2) {
+#pragma omp parallel for schedule(dynamic)
+            for (int64_t lo = 0; lo < n_edges; lo += 2 * width) {
+                const int64_t mid = std::min(lo + width, n_edges);
+                const int64_t hi = std::min(lo + 2 * width, n_edges);
+                if (mid < hi) {
+                    std::merge(a + lo, a + mid, a + mid, a + hi, scratch + lo);
+                    std::memcpy(a + lo, scratch + lo,
+                                sizeof(int64_t) * (hi - lo));
+                }
+            }
+        }
+    }
+    delete[] scratch;
+    int equal = 1;
+#pragma omp parallel for reduction(&& : equal)
+    for (int64_t e = 0; e < n_edges; ++e)
+        equal = equal && (key_fwd[e] == key_bwd[e]);
+    return equal;
+}
+
 int omp_threads() {
 #ifdef _OPENMP
     return omp_get_max_threads();

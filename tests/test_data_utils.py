@@ -149,6 +149,7 @@ def test_dynamic_sampled_spmm_chunked_matches(small_dataset, monkeypatch):
     np.testing.assert_allclose(got_g, ref_g, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_multihead_gat(small_dataset):
     import functools
 

@@ -19,7 +19,12 @@ _ev = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(_ev)
 
 
-@pytest.mark.parametrize("model", ["gcn", "gat", "gin", "sage"])
+@pytest.mark.parametrize("model", [
+    "gcn",
+    pytest.param("gat", marks=pytest.mark.slow),
+    "gin",
+    "sage",
+])
 def test_selected_loss_equals_full(model):
     src = _ev.make_dsl(model, "RowSelT", hidden=12)
     cm = gala_tpu.compile_source(src, mode="train", scale=0.03)
