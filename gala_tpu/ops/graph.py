@@ -491,4 +491,11 @@ def _pallas_auto(c_pad: int, feat_dim: int) -> bool:
     if os.environ.get("GALA_PALLAS_AUTO") != "1":
         return False
     phys = ((feat_dim + 127) // 128) * 128
-    return c_pad * phys * 4 > (96 << 20)
+    if c_pad * phys * 4 <= (96 << 20):
+        return False
+    # never hand a dead Mosaic toolchain a kernel: probe once (round-2's
+    # tunnel 500'd every Pallas compile while XLA worked; a user flipping
+    # the flag then must get the XLA path + a warning, not a MosaicError)
+    from gala_tpu.ops.pallas import mosaic_available
+
+    return mosaic_available()

@@ -264,7 +264,13 @@ _SCAN_MIN_CHUNKS = 16
 # physical row shrinks the table P-fold — same bytes per gathered row,
 # P-fold smaller working set — and a (v,k,P)-expanded weight einsum
 # selects each slot's lane window in one streaming pass.
-_PACK_MIN_BYTES = 96 << 20
+_PACK_MIN_BYTES = int(__import__("os").environ.get(
+    "GALA_PACK_MIN_BYTES", str(96 << 20)
+))
+# Sub-cliff packing (GALA_PACK_MIN_BYTES below the default): the gather
+# rate is ROW-rate bound and flat in width <= 128 lanes (PERF_NOTES), so
+# packing narrow tables cuts gathered rows p-fold even before the cliff;
+# scripts/bench_packed_gather.py measures the crossover on chip.
 
 # Staged (two-level) gather: once the table's PHYSICAL footprint crosses
 # the gather cliff and node-packing cannot apply (f > 64), gather each

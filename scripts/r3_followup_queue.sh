@@ -1,0 +1,28 @@
+#!/bin/bash
+# Follow-up chip queue: optimization experiments AFTER the results sweep.
+# Decides the sub-cliff packing default and profiles GAT at scale.
+set -x
+cd /root/repo
+mkdir -p results_r3
+
+# 1. sub-cliff packed-gather microbench (Reddit-0.25 GAT shapes):
+#    f=33 (x|vl score column), f=32 (GCN layer-2), f=36 (bwd pass-2)
+timeout 1800 python scripts/bench_packed_gather.py --n 58000 --f 33 --nb 1790000 --k 16 \
+    | tee results_r3/packed_gather_f33.txt
+timeout 1800 python scripts/bench_packed_gather.py --n 58000 --f 32 --nb 1790000 --k 16 \
+    | tee results_r3/packed_gather_f32.txt
+timeout 1800 python scripts/bench_packed_gather.py --n 170000 --f 33 --nb 2300000 --k 8 \
+    | tee results_r3/packed_gather_arxiv.txt
+
+# 2. A/B: fig16 GAT+GCN at Reddit-0.25 with forced sub-cliff packing
+GALA_PACK_MIN_BYTES=4096 timeout 3600 python scripts/evaluate.py --job fig16 \
+    --datasets Reddit --models gat gcn --scale 0.25 --iters 30 \
+    --tag packed --outdir results_r3 \
+    || echo "packed fig16 Reddit failed" >> results_r3/queue_errors.txt
+
+# 3. GAT decomposition profile at Reddit-0.25 scale
+timeout 3600 python scripts/profile_gat.py --scale 0.25 --dataset Reddit 2>/dev/null \
+    | tee results_r3/profile_gat_reddit.txt \
+    || timeout 3600 python scripts/profile_gat.py | tee results_r3/profile_gat_default.txt
+
+echo FOLLOWUP_DONE
