@@ -383,6 +383,38 @@ def _head_softmax(seg, w, vr_rows, hf, fh, h, slope):
     return out, p, m, s
 
 
+def _head_softmax_pos(seg, w, vr_rows, hf, fh, h, slope):
+    """_head_softmax variant that additionally accumulates the
+    positive-preactivation statistics the flash-identity backward needs
+    (see _attn_bwd_chunked):
+      outpos = sum_{zpre>0} p * x-slice   (f32)
+      spos   = sum_{zpre>0} p
+    Returns (out32, outpos32, m, s, spos) with out32 kept in f32 — the
+    caller casts once after assembly and saves the f32 as residual so
+    sds = <dout, out> is exact."""
+    zpre = seg[..., hf + h].astype(jnp.float32) + vr_rows[:, h : h + 1].astype(
+        jnp.float32
+    )
+    z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
+    m = jnp.maximum(jnp.max(z, axis=1, keepdims=True), _NEG / 2)
+    p = jnp.where(w != 0, jnp.exp(z - m), 0.0)
+    s = jnp.sum(p, axis=1, keepdims=True)
+    s = jnp.where(s > 0, s, 1.0)
+    p = p / s
+    ppos = jnp.where(zpre > 0, p, 0.0)
+    xs = seg[..., h * fh : (h + 1) * fh]
+    out32 = jnp.einsum(
+        "vk,vkf->vf", p.astype(xs.dtype), xs,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
+    outpos32 = jnp.einsum(
+        "vk,vkf->vf", ppos.astype(xs.dtype), xs,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
+    spos = jnp.sum(ppos, axis=1, keepdims=True)
+    return out32, outpos32, m, s, spos
+
+
 def _attn_fwd_raw(ab: AttnBell, x, vl, vr, slope, n_pad):
     hf = x.shape[1]
     nh = vl.shape[1]
@@ -462,8 +494,14 @@ def _attn_fwd_raw(ab: AttnBell, x, vl, vr, slope, n_pad):
 def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     """Memory-bounded forward: per-bin chunked gathers; the hub class
     accumulates with an online (rescaling) softmax so no S-sized buffer
-    ever materializes.  Returns per-node stats only (backward recomputes
-    probabilities)."""
+    ever materializes.  Returns per-node stats only.
+
+    On the XLA path (no Pallas plans) the forward additionally
+    accumulates the flash-identity statistics out+ = sum_{zpre>0} p*x
+    and s+ = sum_{zpre>0} p per destination — node-sized residuals that
+    let the backward compute sds and dvr WITHOUT re-gathering the slot
+    table (pass 1 of the old backward), cutting a full S-slot gather
+    sweep per layer (see _attn_bwd_chunked)."""
     hf = x.shape[1]
     nh = vl.shape[1]
     fh = hf // nh
@@ -476,8 +514,10 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
 
     # fused Pallas forward: pad the [x | vl] table once
     xx_pallas = _pallas_table(b, xx, hf + nh)
+    use_flash = xx_pallas is None  # kernels do not emit the pos-stats
 
     parts, ms, ss, off, r0, si = [], [], [], 0, 0, 0
+    pos_parts, spos_parts = [], []
     for k, nb, w in zip(b.bin_ks, b.bin_counts, b.bin_vals):
         plan = b.pallas_plans[si] if xx_pallas is not None else None
         if plan is not None:
@@ -499,29 +539,33 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             # many-chunk bin: rolled lax.scan (see _SCAN_MIN_CHUNKS)
             def fwd_body(cols_c, wv, vr_c):
                 seg = _gather_slots(pl.table(), cols_c, p_x, hf + nh)
-                outs_h, m_h, s_h = [], [], []
+                outs_h, m_h, s_h, op_h, sp_h = [], [], [], [], []
                 for h in range(nh):
-                    o, _, m, s = _head_softmax(seg, wv, vr_c, hf, fh, h, slope)
-                    outs_h.append(o)
+                    o32, op32, m, s, sp = _head_softmax_pos(
+                        seg, wv, vr_c, hf, fh, h, slope
+                    )
+                    outs_h.append(o32)
                     m_h.append(m)
                     s_h.append(s)
-                o_c = jnp.concatenate(outs_h, axis=1) if nh > 1 else outs_h[0]
-                m = jnp.concatenate(m_h, axis=1) if nh > 1 else m_h[0]
-                s = jnp.concatenate(s_h, axis=1) if nh > 1 else s_h[0]
-                return o_c, m, s
+                    op_h.append(op32)
+                    sp_h.append(sp)
+                cat = lambda xs: jnp.concatenate(xs, axis=1) if nh > 1 else xs[0]
+                return cat(outs_h), cat(m_h), cat(s_h), cat(op_h), cat(sp_h)
 
             cols_seg = jax.lax.slice_in_dim(b.flat_cols, off, off + nb * k)
-            o_b, m_b, s_b = _rolled_map(
+            o_b, m_b, s_b, op_b, sp_b = _rolled_map(
                 cols_seg, nb, k, (w, vr_bin[r0 : r0 + nb]), fwd_body, rows_c
             )
             parts.append(o_b)
             ms.append(m_b)
             ss.append(s_b)
+            pos_parts.append(op_b)
+            spos_parts.append(sp_b)
             off += nb * k
             r0 += nb
             si += 1
             continue
-        outs, mcs, scs = [], [], []
+        outs, mcs, scs, opcs, spcs = [], [], [], [], []
         for ci, (lo, hi) in enumerate(_chunks(nb, k, hf + nh, b.chunk_slots)):
             cols = jax.lax.slice_in_dim(
                 b.flat_cols, off + lo * k, off + hi * k
@@ -529,24 +573,32 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             seg = _gather_slots(pl.table(), cols, p_x, hf + nh,
                                 sctx[si][ci] if sctx else None)
             wv = jax.lax.slice_in_dim(w, lo, hi)
-            outs_h, m_h, s_h = [], [], []
+            outs_h, m_h, s_h, op_h, sp_h = [], [], [], [], []
             for h in range(nh):
-                o, _, m, s = _head_softmax(
+                o32, op32, m, s, sp = _head_softmax_pos(
                     seg, wv, vr_bin[r0 + lo : r0 + hi], hf, fh, h, slope
                 )
-                outs_h.append(o)
+                outs_h.append(o32)
                 m_h.append(m)
                 s_h.append(s)
-            o_c = jnp.concatenate(outs_h, axis=1) if nh > 1 else outs_h[0]
-            m = jnp.concatenate(m_h, axis=1) if nh > 1 else m_h[0]
-            s = jnp.concatenate(s_h, axis=1) if nh > 1 else s_h[0]
-            o_c, m, s = pl.step(o_c, m, s)
+                op_h.append(op32)
+                sp_h.append(sp)
+            cat = lambda xs: jnp.concatenate(xs, axis=1) if nh > 1 else xs[0]
+            o_c, m, s, op_c, sp_c = (
+                cat(outs_h), cat(m_h), cat(s_h), cat(op_h), cat(sp_h)
+            )
+            o_c, m, s, op_c, sp_c = pl.step(o_c, m, s, op_c, sp_c)
             outs.append(o_c)
             mcs.append(m)
             scs.append(s)
-        parts.append(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
-        ms.append(jnp.concatenate(mcs) if len(mcs) > 1 else mcs[0])
-        ss.append(jnp.concatenate(scs) if len(scs) > 1 else scs[0])
+            opcs.append(op_c)
+            spcs.append(sp_c)
+        cat0 = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+        parts.append(cat0(outs))
+        ms.append(cat0(mcs))
+        ss.append(cat0(scs))
+        pos_parts.append(cat0(opcs))
+        spos_parts.append(cat0(spcs))
         off += nb * k
         r0 += nb
         si += 1
@@ -603,14 +655,16 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     elif b.n_big:
         vb, kb = b.big_vals.shape
 
-        def hub_chunk(m, s, acc, seg, wv, vrow):
-            """One online-softmax hub update (rescaling accumulators)."""
-            m_hs, s_hs, acc_hs = [], [], []
+        def hub_chunk(m, s, acc, sp, accp, seg, wv, vrow):
+            """One online-softmax hub update (rescaling accumulators);
+            sp/accp carry the flash pos-statistics with the SAME
+            rescaling as s/acc."""
+            m_hs, s_hs, acc_hs, sp_hs, accp_hs = [], [], [], [], []
             for h in range(nh):
-                z = seg[..., hf + h].astype(jnp.float32) + vr_bin[
+                zpre = seg[..., hf + h].astype(jnp.float32) + vr_bin[
                     r0 + vrow, h
                 ][:, None].astype(jnp.float32)
-                z = jnp.where(wv != 0, _lrelu(z, slope), _NEG)
+                z = jnp.where(wv != 0, _lrelu(zpre, slope), _NEG)
                 m_c = jax.ops.segment_max(
                     jnp.max(z, axis=1), vrow, num_segments=b.n_big,
                     indices_are_sorted=True,
@@ -618,8 +672,13 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                 m_h = m[:, h]
                 m_new = jnp.maximum(m_h, jnp.maximum(m_c, _NEG))
                 p = jnp.where(wv != 0, jnp.exp(z - m_new[vrow][:, None]), 0.0)
+                ppos = jnp.where(zpre > 0, p, 0.0)
                 s_c = jax.ops.segment_sum(
                     jnp.sum(p, axis=1), vrow, num_segments=b.n_big,
+                    indices_are_sorted=True,
+                )
+                sp_c = jax.ops.segment_sum(
+                    jnp.sum(ppos, axis=1), vrow, num_segments=b.n_big,
                     indices_are_sorted=True,
                 )
                 acc_c = jax.ops.segment_sum(
@@ -630,20 +689,36 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                     ),
                     vrow, num_segments=b.n_big, indices_are_sorted=True,
                 )
+                accp_c = jax.ops.segment_sum(
+                    jnp.einsum(
+                        "vk,vkf->vf", ppos.astype(x.dtype),
+                        seg[..., h * fh : (h + 1) * fh],
+                        preferred_element_type=jnp.float32,
+                    ),
+                    vrow, num_segments=b.n_big, indices_are_sorted=True,
+                )
                 scale = jnp.exp(m_h - m_new)
                 s_hs.append(s[:, h] * scale + s_c)
+                sp_hs.append(sp[:, h] * scale + sp_c)
                 acc_hs.append(
                     acc[:, h * fh : (h + 1) * fh] * scale[:, None] + acc_c
+                )
+                accp_hs.append(
+                    accp[:, h * fh : (h + 1) * fh] * scale[:, None] + accp_c
                 )
                 m_hs.append(m_new)
             m = jnp.stack(m_hs, axis=1)
             s = jnp.stack(s_hs, axis=1)
+            sp = jnp.stack(sp_hs, axis=1)
             acc = jnp.concatenate(acc_hs, axis=1) if nh > 1 else acc_hs[0]
-            return m, s, acc
+            accp = jnp.concatenate(accp_hs, axis=1) if nh > 1 else accp_hs[0]
+            return m, s, acc, sp, accp
 
         m = jnp.full((b.n_big, nh), _NEG, jnp.float32)
         s = jnp.zeros((b.n_big, nh), jnp.float32)
         acc = jnp.zeros((b.n_big, hf), jnp.float32)
+        sp = jnp.zeros((b.n_big, nh), jnp.float32)
+        accp = jnp.zeros((b.n_big, hf), jnp.float32)
         rows_c = _chunk_rows(kb, hf + nh, b.chunk_slots)
         if sctx is None and -(-vb // rows_c) >= _SCAN_MIN_CHUNKS:
             def hub_body(carry, cols_c, wv, vrow):
@@ -651,9 +726,9 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                 return hub_chunk(*carry, seg, wv, vrow)
 
             cols_seg = jax.lax.slice_in_dim(b.flat_cols, off, off + vb * kb)
-            m, s, acc = _rolled_acc(
+            m, s, acc, sp, accp = _rolled_acc(
                 cols_seg, vb, kb, (b.big_vals, b.big_vrow),
-                (m, s, acc), hub_body, rows_c,
+                (m, s, acc, sp, accp), hub_body, rows_c,
             )
         else:
             for ci, (lo, hi) in enumerate(
@@ -666,25 +741,37 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                                     sctx[si][ci] if sctx else None)
                 wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
                 vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
-                m, s, acc = hub_chunk(m, s, acc, seg, wv, vrow)
-                m, s, acc = pl.step(m, s, acc)
+                m, s, acc, sp, accp = hub_chunk(m, s, acc, sp, accp, seg, wv, vrow)
+                m, s, acc, sp, accp = pl.step(m, s, acc, sp, accp)
         s = jnp.where(s > 0, s, 1.0)
-        out_big = jnp.concatenate(
-            [
-                (acc[:, h * fh : (h + 1) * fh] / s[:, h : h + 1]).astype(x.dtype)
-                for h in range(nh)
-            ],
+        per_head = lambda a: jnp.concatenate(
+            [a[:, h * fh : (h + 1) * fh] / s[:, h : h + 1] for h in range(nh)],
             axis=1,
-        ) if nh > 1 else (acc / s).astype(x.dtype)
-        parts.append(out_big)
+        ) if nh > 1 else a / s
+        out_big = per_head(acc)
+        parts.append(out_big if use_flash else out_big.astype(x.dtype))
+        if use_flash:
+            pos_parts.append(per_head(accp))
+            spos_parts.append(sp / s)
         ms.append(jnp.maximum(m, _NEG / 2))
         ss.append(s)
-    out = _assemble(parts, b, n_pad, hf, x.dtype)
+    # bins accumulated f32 on the flash path; one cast after assembly
+    out32_node = _assemble(parts, b, n_pad, hf, jnp.float32) if use_flash else None
+    out = (
+        out32_node.astype(x.dtype) if use_flash
+        else _assemble(parts, b, n_pad, hf, x.dtype)
+    )
     m_bin = jnp.concatenate(ms) if len(ms) > 1 else ms[0]   # bin order
     s_bin = jnp.concatenate(ss) if len(ss) > 1 else ss[0]
     m_node = _assemble([m_bin], b, n_pad, nh, jnp.float32)    # global order
     s_node = _assemble([s_bin], b, n_pad, nh, jnp.float32)
-    return out, vr_bin, m_bin, s_bin, m_node, s_node
+    if use_flash:
+        outpos_node = _assemble(pos_parts, b, n_pad, hf, jnp.float32)
+        spos_node = _assemble(spos_parts, b, n_pad, nh, jnp.float32)
+        flash = (out32_node, outpos_node, spos_node)
+    else:
+        flash = None
+    return out, vr_bin, m_bin, s_bin, m_node, s_node, flash
 
 
 def _head_bwd_stats(seg, wv, vr_rows, dout_rows, m_rows, s_rows,
@@ -713,19 +800,47 @@ def _head_bwd_stats(seg, wv, vr_rows, dout_rows, m_rows, s_rows,
 
 
 def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
-                      m_node, s_node, slope, dout, c_pad):
-    """Memory-bounded backward: probabilities recomputed per chunk from
-    the saved per-node softmax stats; one accumulation sweep per layout.
+                      m_node, s_node, slope, dout, c_pad, flash=None):
+    """Memory-bounded backward.
 
-    Pass 1 (forward layout) accumulates, per destination node and head,
-      sds = sum_slots p*dp,  A = sum p*dp*lrelu',  B = sum p*lrelu'
-    so dvr = A - sds*B without a second sweep.  Pass 2 (transpose
-    layout) is plain accumulation (no softmax normalization across the
-    source dimension), chunked the same way."""
+    With `flash` = (out32, outpos, spos) forward residuals (the XLA
+    chunked path), pass 1's S-slot gather sweep is REPLACED by
+    node-sized flash identities:
+      sds(r,h)  = <dout_r, out_r>_h          (flash-attention's D trick:
+                  sum_e p*dp = <dout, sum_e p*x> = <dout, out>)
+      PDP+(r,h) = <dout_r, out+_r>_h
+      dvr       = (1-slope) * (PDP+ - sds * s+)
+    (derivation: lrelu'(z) = slope + (1-slope)*[z>0], so
+     A = sum p*dp*lrelu' = slope*sds + (1-slope)*PDP+ and
+     B = sum p*lrelu'    = slope*1   + (1-slope)*s+; dvr = A - sds*B.)
+    This cuts the 3-gather-sweep GAT layer to 2 sweeps.
+
+    Without `flash` (Pallas-planned layouts), pass 1 recomputes
+    probabilities per chunk from the saved per-node softmax stats and
+    accumulates sds/A/B in one gather sweep.  Pass 2 (transpose layout)
+    is plain accumulation either way, chunked the same way."""
     hf = x.shape[1]
     nh = vl.shape[1]
     fh = hf // nh
     b = ab.fwd
+    if flash is not None:
+        out32, outpos, spos = flash
+        do32 = dout.astype(jnp.float32)
+        sds_cols, pdp_cols = [], []
+        for h in range(nh):
+            sl = slice(h * fh, (h + 1) * fh)
+            sds_cols.append(
+                jnp.sum(do32[:, sl] * out32[:, sl], axis=1, keepdims=True)
+            )
+            pdp_cols.append(
+                jnp.sum(do32[:, sl] * outpos[:, sl], axis=1, keepdims=True)
+            )
+        sds_node = jnp.concatenate(sds_cols, axis=1) if nh > 1 else sds_cols[0]
+        pdp_pos = jnp.concatenate(pdp_cols, axis=1) if nh > 1 else pdp_cols[0]
+        dvr = (1.0 - slope) * (pdp_pos - sds_node * spos)
+        return _attn_bwd_pass2(
+            ab, x, vl, vr, m_node, s_node, sds_node, dvr, slope, dout, c_pad
+        )
     xx = jnp.concatenate([x, vl.astype(x.dtype)], axis=1)
     dout_bin = dout if ab.rows is None else dout[ab.rows]
     p_x = _pack_factor(xx.shape[0], hf + nh, jnp.dtype(xx.dtype).itemsize)
@@ -905,8 +1020,20 @@ def _attn_bwd_chunked(ab: AttnBell, x, vl, vr, vr_bin, m_bin, s_bin,
     b_bin2 = jnp.concatenate(b_parts) if len(b_parts) > 1 else b_parts[0]
     dvr = _assemble([a_bin - sds_bin * b_bin2], b, n_pad, nh, jnp.float32)
     sds_node = _assemble([sds_bin], b, n_pad, nh, jnp.float32)
+    return _attn_bwd_pass2(
+        ab, x, vl, vr, m_node, s_node, sds_node, dvr, slope, dout, c_pad
+    )
 
-    # ---- pass 2 (transpose layout), chunked plain accumulation ------- #
+
+def _attn_bwd_pass2(ab, x, vl, vr, m_node, s_node, sds_node, dvr, slope,
+                    dout, c_pad):
+    """Pass 2 (transpose layout): one chunked plain-accumulation gather
+    sweep over the [dout | vr | m | s | sds] destination table emitting
+    [dx | dvl] source rows; dvr passes through from pass 1 (or the
+    flash identities)."""
+    hf = x.shape[1]
+    nh = vl.shape[1]
+    fh = hf // nh
     t = ab.t
     w_tab = jnp.concatenate(
         [dout.astype(jnp.float32), vr.astype(jnp.float32),
@@ -1213,10 +1340,12 @@ def _attn_fwd(n_pad, c_pad, slope, ab, x, vl, vr):
             ab, x, vl, vr, slope, n_pad
         )
         return out, (ab, x, vl, vr, gth, probs, vr_bin, m_node, s_node)
-    out, vr_bin, m_bin, s_bin, m_node, s_node = _attn_fwd_chunked(
+    out, vr_bin, m_bin, s_bin, m_node, s_node, flash = _attn_fwd_chunked(
         ab, x, vl, vr, slope, n_pad
     )
-    return out, (ab, x, vl, vr, None, None, vr_bin, (m_bin, s_bin), (m_node, s_node))
+    # the probs slot carries the flash-identity residuals on the chunked
+    # XLA path (out32, outpos, spos) — None when Pallas plans are active
+    return out, (ab, x, vl, vr, None, flash, vr_bin, (m_bin, s_bin), (m_node, s_node))
 
 
 def _attn_bwd(n_pad, c_pad, slope, res, dout):
@@ -1226,7 +1355,7 @@ def _attn_bwd(n_pad, c_pad, slope, res, dout):
         m_glob, s_glob = s_node
         dx, dvl, dvr = _attn_bwd_chunked(
             ab, x, vl, vr, vr_bin, m_bin, s_bin, m_glob, s_glob,
-            slope, dout, c_pad,
+            slope, dout, c_pad, flash=probs,
         )
     else:
         dx, dvl, dvr = _attn_bwd_raw(

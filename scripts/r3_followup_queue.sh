@@ -25,4 +25,14 @@ timeout 3600 python scripts/profile_gat.py --scale 0.25 --dataset Reddit 2>/dev/
     | tee results_r3/profile_gat_reddit.txt \
     || timeout 3600 python scripts/profile_gat.py | tee results_r3/profile_gat_default.txt
 
+# 4. dynamic-sampling phase breakdown (table7 dynamic was 16x none;
+#    the per-dispatch debug shows whether it's compute or stream stalls)
+GALA_TPU_PHASE_DEBUG=1 timeout 1800 python -c "
+import gala_tpu
+src = open('examples/gcn.txt').read() + '\naggrFn=aggrFn.sample(20).dynamic();\n'
+cm = gala_tpu.compile_source(src, mode='train')
+res = cm.train(iters=12)
+print('dynamic inference_time', res.inference_time)
+" 2>&1 | grep -v WARNING | tee results_r3/dynamic_phase_debug.txt
+
 echo FOLLOWUP_DONE
