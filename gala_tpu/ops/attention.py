@@ -48,7 +48,15 @@ _NEG = -1e30
 # bounded bell gathers in ops/spmm._bell_bin_reduce and of the
 # reference's ordered column tiling (reference: src/ops/tiling.h:222)
 _ATTN_CHUNK_ELEMS = 1 << 26   # physical elements per chunked gather buffer
-_ATTN_FLAT_ELEMS = 1 << 29    # flat-path ceiling (~2 GB f32 slot buffer)
+# Flat-path ceiling.  Default 0: the chunked path with the
+# flash-identity backward (see _attn_bwd_chunked) does the same number
+# of gather sweeps WITHOUT materializing the (S, hf+H) gth residual or
+# saving probabilities, so it dominates the flat path at every scale.
+# The flat path remains as the independent test oracle
+# (GALA_ATTN_FLAT_ELEMS=536870912 restores the old behavior).
+_ATTN_FLAT_ELEMS = int(__import__("os").environ.get(
+    "GALA_ATTN_FLAT_ELEMS", "0"
+))
 
 # _stage_ctx's canonical 'aligned' branch relies on the attention chunk
 # bounds coinciding with the stage tables' S_CHUNK boundaries at 128

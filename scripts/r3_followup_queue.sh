@@ -14,7 +14,19 @@ timeout 1800 python scripts/bench_packed_gather.py --n 58000 --f 32 --nb 1790000
 timeout 1800 python scripts/bench_packed_gather.py --n 170000 --f 33 --nb 2300000 --k 8 \
     | tee results_r3/packed_gather_arxiv.txt
 
-# 2. A/B: fig16 GAT+GCN at Reddit-0.25 with forced sub-cliff packing
+# 2a. flash-backward effect: fig16 GAT at Reddit/Products-0.25 with the
+#     pass-1-free backward (compare against the r3-main rows measured
+#     pre-flash: Reddit gat 0.676, Products gat 2.785)
+timeout 3600 python scripts/evaluate.py --job fig16 \
+    --datasets Reddit --models gat --scale 0.25 --iters 30 \
+    --tag flash --outdir results_r3 \
+    || echo "flash fig16 Reddit failed" >> results_r3/queue_errors.txt
+timeout 3600 python scripts/evaluate.py --job fig16 \
+    --datasets Products --models gat --scale 0.25 --iters 30 \
+    --tag flash --outdir results_r3 \
+    || echo "flash fig16 Products failed" >> results_r3/queue_errors.txt
+
+# 2b. A/B: + forced sub-cliff packing on top of the flash backward
 GALA_PACK_MIN_BYTES=4096 timeout 3600 python scripts/evaluate.py --job fig16 \
     --datasets Reddit --models gat gcn --scale 0.25 --iters 30 \
     --tag packed --outdir results_r3 \

@@ -158,8 +158,9 @@ def test_chunked_attention_matches_flat(attn_graph, monkeypatch, scan_min):
         out = attention_aggregate(g.n_pad, g.c_pad, SLOPE, g.attn, x, vl, vr)
         return jnp.sum(out * dout), out
 
-    (l1, out1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
+    monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 1 << 29)  # flat oracle
     assert A._is_flat(g.attn, 16, 1)
+    (l1, out1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
 
     monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 4096)
     monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 4096)
@@ -187,6 +188,7 @@ def test_packed_chunked_attention_matches(attn_graph, monkeypatch):
         out = attention_aggregate(g.n_pad, g.c_pad, SLOPE, g.attn, x, vl, vr)
         return jnp.sum(out * dout), out
 
+    monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 1 << 29)  # flat oracle
     (l1, out1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(x, vl, vr)
     monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 8192)
     monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 8192)
@@ -224,6 +226,8 @@ def test_multihead_attention_vs_dense_reference(attn_graph, monkeypatch):
         if chunked:
             monkeypatch.setattr(A, "_ATTN_CHUNK_ELEMS", 4096)
             monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 4096)
+        else:
+            monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 1 << 29)  # flat arm
         out = attention_aggregate(g.n_pad, g.c_pad, SLOPE, g.attn, x, vl, vr)
         ref = dense_ref(x, vl, vr)
         np.testing.assert_allclose(

@@ -60,11 +60,14 @@ def test_col_tile_spmm_parity(small_dataset, strategy):
 
 
 @pytest.mark.slow
-def test_col_tile_attention_parity(small_dataset):
+def test_col_tile_attention_parity(small_dataset, monkeypatch):
     """col_tile forces the chunked attention path; results must match
-    the flat path bit-for-bit-ish."""
+    the flat path bit-for-bit-ish (the flat path is restored as the
+    oracle via _ATTN_FLAT_ELEMS — default is chunked everywhere)."""
+    import gala_tpu.ops.attention as A
     from gala_tpu.ops.attention import _is_flat, attention_aggregate
 
+    monkeypatch.setattr(A, "_ATTN_FLAT_ELEMS", 1 << 29)  # g0 = flat oracle
     g_host, *_ = small_dataset
     g0 = Graph.from_host(g_host, strategy="bell", attention=True)
     g1 = Graph.from_host(g_host, strategy="bell", attention=True, col_tile=50)
