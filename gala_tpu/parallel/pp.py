@@ -162,7 +162,10 @@ def make_sage_pipeline(mesh: Mesh, xt, f1: int, hidden: int, n_classes: int,
     tx = optax.chain(optax.add_decayed_weights(weight_decay), optax.adam(lr))
     opt_state = tx.init(stage_params)
 
-    def stage0(pl, t, n1, n2):
+    def stage0(pl, xt, t, n1, n2):
+        # xt rides as a shard_map argument: a closed-over device array
+        # is embedded in the lowered module as a constant and blows the
+        # remote compile helper's request-size limit at Reddit scale
         x_t = xt[t]
         x_n1 = xt[n1]
         x_n2 = xt[n2]
@@ -187,11 +190,11 @@ def make_sage_pipeline(mesh: Mesh, xt, f1: int, hidden: int, n_classes: int,
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P("pipe"), P(), P(), P(), P(), P()),
+        in_specs=(P("pipe"), P(), P(), P(), P(), P(), P()),
         out_specs=(P("pipe"), P()),
         check_vma=False,
     )
-    def pipelined_grads(params_sh, ts, n1s, n2s, ys, ms):
+    def pipelined_grads(params_sh, xt_rep, ts, n1s, n2s, ys, ms):
         params_local = jax.tree.map(lambda a: a[0], params_sh)
         idx = jax.lax.axis_index("pipe")
         n_micro = ts.shape[0]
@@ -208,7 +211,7 @@ def make_sage_pipeline(mesh: Mesh, xt, f1: int, hidden: int, n_classes: int,
                 mb = jax.lax.dynamic_index_in_dim(ms, i1, keepdims=False)
                 # SPMD: both stage bodies trace on every device; `where`
                 # and the loss mask select the live one
-                act0 = stage0(pl, t, n1, n2)
+                act0 = stage0(pl, xt_rep, t, n1, n2)
                 logits = stage1(pl, state)
                 h_out = jnp.where(idx == 0, act0, jnp.zeros_like(act0))
                 state_next = jax.lax.ppermute(h_out, "pipe", _ring(2))
@@ -216,7 +219,7 @@ def make_sage_pipeline(mesh: Mesh, xt, f1: int, hidden: int, n_classes: int,
                 l = jnp.where((idx == 1) & (i >= 1), l, 0.0)
                 return state_next, l
 
-            init = jnp.zeros((ts.shape[1], w_act), xt.dtype)
+            init = jnp.zeros((ts.shape[1], w_act), xt_rep.dtype)
             _, losses = jax.lax.scan(tick, init, jnp.arange(t_total))
             # one scalar shared by psum so both stages' grads flow from
             # the same loss; per-stage grads land on their own devices
@@ -228,7 +231,7 @@ def make_sage_pipeline(mesh: Mesh, xt, f1: int, hidden: int, n_classes: int,
     @jax.jit
     def step(stage_params, opt_state, micro):
         grads, loss = pipelined_grads(
-            stage_params, micro["t"], micro["n1"], micro["n2"],
+            stage_params, xt, micro["t"], micro["n1"], micro["n2"],
             micro["y"], micro["m"],
         )
         import optax as _ox

@@ -90,7 +90,11 @@ def train_sage_minibatch(
     sampler = NeighborSampler(g_host, fanouts, batch_size)
     train_nodes = np.flatnonzero(np.asarray(masks["train"]))
 
-    def batch_loss(p, t, n1, n2, yb, mb):
+    # xt and the validation arrays ride as jit ARGUMENTS, never
+    # closures: a closed-over device array is embedded in the lowered
+    # module as a constant, and a Reddit-scale feature table blows the
+    # remote compile helper's request-size limit (HTTP 413)
+    def batch_loss(p, xt, t, n1, n2, yb, mb):
         logits = forward_minibatch(p, xt, t, n1, n2)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
         nll = -jnp.take_along_axis(logp, yb[:, None], 1)[:, 0]
@@ -98,11 +102,13 @@ def train_sage_minibatch(
         return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
     @jax.jit
-    def run_epoch(p, o, batches):
+    def run_epoch(p, o, xt, batches):
         def body(carry, xs):
             p, o = carry
             t, n1, n2, yb, mb = xs
-            loss, grads = jax.value_and_grad(batch_loss)(p, t, n1, n2, yb, mb)
+            loss, grads = jax.value_and_grad(batch_loss)(
+                p, xt, t, n1, n2, yb, mb
+            )
             updates, o2 = tx.update(grads, o, p)
             return (optax.apply_updates(p, updates), o2), loss
 
@@ -110,7 +116,7 @@ def train_sage_minibatch(
         return p, o, jnp.mean(losses)
 
     @jax.jit
-    def full_accuracy(p):
+    def full_accuracy(p, g, xt, y_pad, test_mask):
         logits = sage.forward(p, [g, g], xt)
         return masked_accuracy(logits, y_pad, test_mask)
 
@@ -125,15 +131,15 @@ def train_sage_minibatch(
             jnp.asarray(a) for a in (eb.targets, eb.n1, eb.n2, yb, eb.mask)
         )
         t0 = time.perf_counter()
-        params, opt_state, loss = run_epoch(params, opt_state, batches)
+        params, opt_state, loss = run_epoch(params, opt_state, xt, batches)
         loss = float(loss)  # host fetch fences the epoch (axon-correct)
         if ep >= warmup:
             epoch_times.append(time.perf_counter() - t0)
         losses.append(loss)
         if valid_step and ep % valid_step == 0:
-            accs.append(float(full_accuracy(params)))
+            accs.append(float(full_accuracy(params, g, xt, y_pad, test_mask)))
     if valid_step:
-        accs.append(float(full_accuracy(params)))
+        accs.append(float(full_accuracy(params, g, xt, y_pad, test_mask)))
     mean_epoch = float(np.mean(epoch_times)) if epoch_times else 0.0
     return TrainResult(
         params=params,

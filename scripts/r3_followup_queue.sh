@@ -47,4 +47,15 @@ res = cm.train(iters=12)
 print('dynamic inference_time', res.inference_time)
 " 2>&1 | grep -v WARNING | tee results_r3/dynamic_phase_debug.txt
 
+# 5. minibatch SAGE retry (the HTTP 413 was the closed-over feature
+#    table embedded as an HLO constant; now a jit argument)
+timeout 3600 python scripts/bench_minibatch.py --dataset Reddit --scale 0.25 \
+    --iters 12 | tee results_r3/minibatch_sage.json \
+    || echo "minibatch retry failed" >> results_r3/queue_errors.txt
+
+# 6. papers100M 0.02 retry in bf16 (f32 OOMed at 0.02; bf16 halves HBM)
+timeout 3600 python scripts/evaluate.py --job table6 --t6-dataset Papers100M \
+    --fractions 0.02 --iters 20 --dtype bf16 --outdir results_r3 \
+    || echo "table6 0.02 bf16 failed" >> results_r3/queue_errors.txt
+
 echo FOLLOWUP_DONE
