@@ -58,4 +58,10 @@ timeout 3600 python scripts/evaluate.py --job table6 --t6-dataset Papers100M \
     --fractions 0.02 --iters 20 --dtype bf16 --outdir results_r3 \
     || echo "table6 0.02 bf16 failed" >> results_r3/queue_errors.txt
 
+# 7. Mosaic bisect: trivial kernels now compile (queue gate passed)
+#    while bell_spmm still 500s — find the feature that crashes
+#    tpu_compile_helper
+timeout 3000 python scripts/pallas_bisect.py --timeout 240 \
+    | tee results_r3/pallas_bisect.txt
+
 echo FOLLOWUP_DONE
