@@ -43,9 +43,15 @@ def autoschedule(spec: ModelSpec, g: HostCSR, n_feats: int, n_classes: int) -> M
     if spec.output_sizes and spec.output_sizes[-1] in (0, -3):
         spec.output_sizes[-1] = n_classes
 
-    density = g.density()
-    # reference heuristic: coarsen=2 always; col_tile nrows/5 when dense
+    # reference heuristic: coarsen=2 always; col_tile nrows/5 when
+    # density > 0.001.  On TPU the coarsen analog (binned-ELL blocking)
+    # is kept, but col_tile is NOT emitted: forcing the chunked paths
+    # below the memory budget is a measured LOSS on this hardware
+    # (results_r3/stat_table5.csv, Reddit-0.25: dir 1.36s vs none 0.78s
+    # inference — schedule-driven chunking exists for memory, not speed,
+    # and the executor already chunks by budget when buffers would not
+    # fit).  Strategy selection from the real graph (density, size,
+    # edge-value needs) happens at lowering via choose_strategy either
+    # way, so opt_input's job here is sizes + coarsening only.
     spec.compute.coarsen = max(spec.compute.coarsen, 2)
-    if density > 0.001:
-        spec.col_tile = float(g.n_rows // 5 or 1)
     return spec
