@@ -58,6 +58,12 @@ timeout 3600 python scripts/evaluate.py --job table6 --t6-dataset Papers100M \
     --fractions 0.02 --iters 20 --dtype bf16 --outdir results_r3 \
     || echo "table6 0.02 bf16 failed" >> results_r3/queue_errors.txt
 
+# 6b. fig20 re-run after the TPU-aware opt_input fix (auto had emitted
+#     the GPU col_tile heuristic: 0.116 vs hand 0.079 total)
+timeout 3600 python scripts/evaluate.py --job fig20 --datasets Reddit --scale 0.25 \
+    --iters 20 --outdir results_r3 \
+    || echo "fig20 rerun failed" >> results_r3/queue_errors.txt
+
 # 7. Mosaic bisect: trivial kernels now compile (queue gate passed)
 #    while bell_spmm still 500s — find the feature that crashes
 #    tpu_compile_helper
