@@ -9,6 +9,7 @@ VERDICT r1 #1 'done' bar: Pallas >= XLA gather on a <100MB table AND
 >= 3x XLA on a Products-scale (>500MB physical) table.
 """
 import argparse
+import functools
 import os
 import sys
 import time
@@ -23,7 +24,7 @@ from gala_tpu.ops.pallas.bell_spmm import bell_spmm_pallas
 
 
 def fence(x):
-    np.asarray(jax.device_get(x[:1, :1]))  # axon: host fetch is the only fence
+    np.asarray(jax.device_get(x.reshape(-1)[:1]))  # axon: host fetch fences
 
 
 def timeit(fn, iters=20, warmup=3):
@@ -32,6 +33,20 @@ def timeit(fn, iters=20, warmup=3):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
+    fence(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def timeit_args(fn, *args, iters=20, warmup=3):
+    """jit fn and time jf(*args): operands ride as jit ARGUMENTS —
+    a closed-over device array embeds in the lowered module and blows
+    the remote-compile request limit (HTTP 413) at big-table sizes."""
+    jf = jax.jit(fn)
+    for _ in range(warmup):
+        fence(jf(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jf(*args)
     fence(out)
     return (time.perf_counter() - t0) / iters
 
@@ -76,15 +91,21 @@ def main():
     print(f"table {phys_mb:.0f} MB physical, {nb*k/1e6:.1f}M slots, k={k}")
 
     cols_dev = jnp.asarray(cols)
-    t = timeit(jax.jit(lambda: xla_reduce(cols_dev, vals, x, nb, k)))
+    t = timeit_args(functools.partial(xla_reduce, nb=nb, k=k),
+                    cols_dev, vals, x)
     print(f"xla one-shot: {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
 
     for form, label in ((True, "pallas gather"), (False, "pallas one-hot")):
         try:
-            fn = jax.jit(lambda form=form: bell_spmm_pallas(
-                x, cols, vals, k=k, rows_per_chunk=args.rows_per_chunk,
-                use_gather=form, interpret=interp))
-            t = timeit(fn)
+            from gala_tpu.ops.pallas.bell_spmm import (
+                bell_spmm_planned, make_plan as _mk,
+            )
+
+            bplan = _mk(cols, k, args.rows_per_chunk)
+            t = timeit_args(
+                functools.partial(bell_spmm_planned, use_gather=form,
+                                  interpret=interp),
+                bplan, x, vals)
             print(f"{label}: {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
         except Exception as e:  # noqa: BLE001 — report which form fails to lower
             print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}")
@@ -105,7 +126,7 @@ def main():
             (rng.random((nb, k)) > 0.1).astype(np.float32)
         ).at[:, 0].set(1.0)
 
-        def xla_attn():
+        def xla_attn(xx, cols_dev, vr, w):
             seg = xx[cols_dev].reshape(nb, k, f_pad)
             outs = []
             fh = hf // nh
@@ -121,7 +142,7 @@ def main():
                     preferred_element_type=jnp.float32))
             return jnp.concatenate(outs, axis=1).astype(dt)
 
-        t = timeit(jax.jit(xla_attn))
+        t = timeit_args(xla_attn, xx, cols_dev, vr, w)
         print(f"xla attn:     {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
         itemsize = jnp.dtype(dt).itemsize
         # budget staging for the WIDEST table any attention pass gathers
@@ -142,8 +163,11 @@ def main():
                 xxp = jnp.concatenate(
                     [xx, jnp.zeros((plan.n_need - n, f_pad), dt)], axis=0)
             try:
-                t = timeit(jax.jit(lambda: attn_fwd_planned(
-                    plan, xxp, w, vr, hf, nh, slope, interpret=interp)[0]))
+                t = timeit_args(
+                    lambda p_, xxp_, w_, vr_: attn_fwd_planned(
+                        p_, xxp_, w_, vr_, hf, nh, slope,
+                        interpret=interp)[0],
+                    plan, xxp, w, vr)
                 print(f"pallas attn:  {t*1e3:8.2f} ms  "
                       f"{nb*k/t/1e6:8.1f}M slots/s")
             except Exception as ex:  # noqa: BLE001
@@ -161,9 +185,11 @@ def main():
             s_rows = jnp.asarray(
                 (rng.random((nb, nh)) + 0.5).astype(np.float32))
             try:
-                t = timeit(jax.jit(lambda: attn_bwd1_planned(
-                    plan, xxp, w, vr, do_rows, m_rows, s_rows, hf, nh,
-                    slope, interpret=interp)[0]))
+                t = timeit_args(
+                    lambda p_, xxp_, w_, vr_, do_, m_, s_: attn_bwd1_planned(
+                        p_, xxp_, w_, vr_, do_, m_, s_, hf, nh,
+                        slope, interpret=interp)[0],
+                    plan, xxp, w, vr, do_rows, m_rows, s_rows)
                 print(f"pallas bwd1:  {t*1e3:8.2f} ms  "
                       f"{nb*k/t/1e6:8.1f}M slots/s")
             except Exception as ex:  # noqa: BLE001
@@ -181,9 +207,11 @@ def main():
             vl_rows = jnp.asarray(
                 rng.normal(size=(nb, nh)).astype(np.float32))
             try:
-                t = timeit(jax.jit(lambda: attn_bwd2_planned(
-                    plan, wtab, w, x_rows, vl_rows, hf, nh, slope,
-                    interpret=interp)))
+                t = timeit_args(
+                    lambda p_, wt_, w_, x_, vl_: attn_bwd2_planned(
+                        p_, wt_, w_, x_, vl_, hf, nh, slope,
+                        interpret=interp),
+                    plan, wtab, w, x_rows, vl_rows)
                 print(f"pallas bwd2:  {t*1e3:8.2f} ms  "
                       f"{nb*k/t/1e6:8.1f}M slots/s")
             except Exception as ex:  # noqa: BLE001
@@ -198,12 +226,15 @@ def main():
         srcv = cols
         a = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32)).astype(dt)
         dst_dev, src_dev = jnp.asarray(dst), jnp.asarray(srcv)
-        t = timeit(jax.jit(
-            lambda: jnp.sum(a[dst_dev] * x[src_dev], axis=1)))
+        t = timeit_args(
+            lambda a_, x_, d_, s_: jnp.sum(a_[d_] * x_[s_], axis=1),
+            a, x, dst_dev, src_dev)
         print(f"xla sddmm:    {t*1e3:8.2f} ms  {e/t/1e6:8.1f}M edges/s")
         try:
-            t = timeit(jax.jit(lambda: sddmm_pallas(a, x, dst, srcv,
-                                                    interpret=interp)))
+            t = timeit_args(
+                lambda a_, x_: sddmm_pallas(a_, x_, dst, srcv,
+                                            interpret=interp),
+                a, x)
             print(f"pallas sddmm: {t*1e3:8.2f} ms  {e/t/1e6:8.1f}M edges/s")
         except Exception as ex:  # noqa: BLE001
             print(f"pallas sddmm: FAILED — {type(ex).__name__}: {str(ex)[:200]}")

@@ -64,6 +64,17 @@ timeout 3600 python scripts/evaluate.py --job fig20 --datasets Reddit --scale 0.
     --iters 20 --outdir results_r3 \
     || echo "fig20 rerun failed" >> results_r3/queue_errors.txt
 
+# 6c. pallas benches retry with the fixed operand passing (the r3-main
+#     big-table/sddmm attempts died on HTTP 413: operands were closure
+#     constants in the compile request; trivial-kernel gate already
+#     passed in the main queue so Mosaic is probed directly here)
+timeout 3600 python scripts/bench_pallas_bell.py --n 2500000 --f 128 --nb 8000000 --k 16 \
+    --locality 0.3 | sed 's/\x1b\[[0-9;]*m//g' | tee results_r3/pallas_bell_big.txt \
+    || echo "pallas big retry failed" >> results_r3/queue_errors.txt
+timeout 3600 python scripts/bench_pallas_bell.py --sddmm \
+    | sed 's/\x1b\[[0-9;]*m//g' | tee results_r3/pallas_sddmm.txt \
+    || echo "pallas sddmm retry failed" >> results_r3/queue_errors.txt
+
 # 7. Mosaic bisect: trivial kernels now compile (queue gate passed)
 #    while bell_spmm still 500s — find the feature that crashes
 #    tpu_compile_helper
