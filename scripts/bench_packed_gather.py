@@ -64,29 +64,53 @@ def main():
     print(f"table {phys_mb:.1f} MB physical, {s/1e6:.1f}M slots, "
           f"f={f} k={k} {args.dtype}")
 
-    def plain():
-        seg = x[cols_dev.reshape(-1)].reshape(nb, k, f)
-        return jnp.einsum("vk,vkf->vf", vals, seg,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+    # chunked exactly like the executor (ops/spmm._bell_bin_reduce):
+    # a lax.scan over row chunks bounded by the gathered-buffer budget —
+    # one-shot forms OOM at these slot counts (14.6GB intermediates)
+    rows_c = max((1 << 26) // max(k * 128, 1), 1)
+    n_chunks = -(-nb // rows_c)
+    nb_pad = n_chunks * rows_c
+    cols_p = jnp.zeros((nb_pad, k), jnp.int32).at[:nb].set(cols_dev)
+    vals_p = jnp.zeros((nb_pad, k), vals.dtype).at[:nb].set(vals)
+    cols_s = cols_p.reshape(n_chunks, rows_c, k)
+    vals_s = vals_p.reshape(n_chunks, rows_c, k)
+    print(f"chunks: {n_chunks} x {rows_c} rows")
 
-    t = timeit(jax.jit(plain))
+    def plain(cols_s, vals_s, x):
+        def body(_, ch):
+            c_, v_ = ch
+            seg = x[c_.reshape(-1)].reshape(rows_c, k, f)
+            return 0, jnp.einsum("vk,vkf->vf", v_, seg,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(x.dtype)
+        _, o = jax.lax.scan(body, 0, (cols_s, vals_s))
+        return o
+
+    jf = jax.jit(plain)
+    t = timeit(lambda: jf(cols_s, vals_s, x))
     print(f"plain  gather: {t*1e3:8.2f} ms  {s/t/1e6:8.1f}M slots/s")
+
+    def packed_fn(p):
+        def run(cols_s, vals_s, xp):
+            def body(_, ch):
+                c_, v_ = ch
+                return 0, _packed_chunk_reduce(c_, v_, xp, p, f, xp.dtype)
+            _, o = jax.lax.scan(body, 0, (cols_s, vals_s))
+            return o
+        return run
 
     for p in sorted({pp for pp in (2, 128 // max(f, 1), 8) if pp > 1}):
         xp = _pack_table(x, p)
-
-        def packed(xp=xp, p=p):
-            return _packed_chunk_reduce(cols_dev, vals, xp, p, f, x.dtype)
-
-        t = timeit(jax.jit(packed))
+        jp = jax.jit(packed_fn(p))
+        t = timeit(lambda: jp(cols_s, vals_s, xp))
         print(f"packed p={p}:   {t*1e3:8.2f} ms  {s/t/1e6:8.1f}M slots/s")
 
-    # correctness
-    ref = np.asarray(jax.device_get(jax.jit(plain)()), np.float32)
+    # correctness on the first chunk only (cheap)
+    ref = np.asarray(jax.device_get(jf(cols_s[:1], vals_s[:1], x)), np.float32)
     p = max(128 // max(f, 1), 2)
     got = np.asarray(jax.device_get(
-        jax.jit(lambda: _packed_chunk_reduce(
-            cols_dev, vals, _pack_table(x, p), p, f, x.dtype))()), np.float32)
+        jax.jit(packed_fn(p))(cols_s[:1], vals_s[:1], _pack_table(x, p))),
+        np.float32)
     err = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
     print(f"packed vs plain rel err: {err:.2e}")
 
