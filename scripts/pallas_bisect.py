@@ -187,6 +187,61 @@ out = pl.pallas_call(
 )(locals_, vals, x[: U * BLK])
 out.block_until_ready()
 """ % os.path.dirname(HERE)),
+    # --- r3 fix candidates: stage 8 isolated the failure to the in-kernel
+    # (R,k)->(rk,) index reshape (tpu.reshape vector<1x8x4xi32> ->
+    # vector<32xi32>), NOT the dynamic gather itself.  These stages feed
+    # the indices already in (rk,1) sublane-major layout from the host so
+    # the kernel never reshapes across lanes/sublanes.
+    81: ("gather, host-shaped (rk,1) idx, table-shaped bcast", COMMON + """
+def kern(l_ref, v_ref, x_ref, o_ref):
+    tab = x_ref[...]
+    u8, f = tab.shape
+    idx = l_ref[0]                                  # (u8, 1) already
+    g = jnp.take_along_axis(tab, jnp.broadcast_to(idx, (u8, f)), axis=0)
+    w = g * v_ref[0]                                # (u8, f) * (u8, 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R, u8), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (R, u8), 1)
+    A = ((si // K) == ri).astype(jnp.float32)
+    o_ref[...] = jnp.dot(A, w, preferred_element_type=jnp.float32)
+u8 = U * BLK
+lflat = jnp.zeros((C, u8, 1), jnp.int32).at[:, : R * K, 0].set(
+    locals_.reshape(C, R * K))
+vflat = jnp.zeros((C, u8, 1), jnp.float32).at[:, : R * K, 0].set(
+    vals.reshape(C, R * K))
+out = pl.pallas_call(
+    kern,
+    grid=(C,),
+    in_specs=[pl.BlockSpec((1, u8, 1), lambda c: (c, 0, 0)),
+              pl.BlockSpec((1, u8, 1), lambda c: (c, 0, 0)),
+              pl.BlockSpec((u8, F), lambda c: (0, 0))],
+    out_specs=pl.BlockSpec((R, F), lambda c: (c, 0)),
+    out_shape=jax.ShapeDtypeStruct((C * R, F), jnp.float32),
+)(lflat, vflat, x[:u8])
+ref = jnp.einsum('crk,crkf->crf', vals,
+                 x[:u8][locals_]).reshape(C * R, F)
+assert jnp.allclose(out, ref, atol=1e-4), 'WRONG RESULT'
+out.block_until_ready()
+"""),
+    82: ("gather, (g8,f) output-shaped idx smaller than table", COMMON + """
+def kern(l_ref, x_ref, o_ref):
+    tab = x_ref[...]          # (u8, F)
+    g8 = R                    # gather fewer rows than the table has
+    idx = l_ref[0][:g8]       # (g8, 1)
+    g = jnp.take_along_axis(tab, jnp.broadcast_to(idx, (g8, F)), axis=0)
+    o_ref[...] = g
+u8 = U * BLK
+lflat = jnp.zeros((C, u8, 1), jnp.int32).at[:, : R * K, 0].set(
+    locals_.reshape(C, R * K))
+out = pl.pallas_call(
+    kern,
+    grid=(C,),
+    in_specs=[pl.BlockSpec((1, u8, 1), lambda c: (c, 0, 0)),
+              pl.BlockSpec((u8, F), lambda c: (0, 0))],
+    out_specs=pl.BlockSpec((R, F), lambda c: (c, 0)),
+    out_shape=jax.ShapeDtypeStruct((C * R, F), jnp.float32),
+)(lflat, x[:u8])
+out.block_until_ready()
+"""),
     9: ("one-hot MXU distribute", COMMON + """
 def kern(l_ref, v_ref, x_ref, o_ref):
     tab = x_ref[...]
@@ -217,6 +272,16 @@ cols = rng.integers(0, N, 4096 * K).astype(np.int32)
 vv = jnp.asarray(rng.normal(size=(4096, K)).astype(np.float32))
 out = bell_spmm_pallas(x, cols, vv, K, rows_per_chunk=R)
 out.block_until_ready()
+""" % os.path.dirname(HERE)),
+    11: ("full bell_spmm_pallas ONE-HOT (tiny) + parity", COMMON + """
+import sys; sys.path.insert(0, r"%s")
+from gala_tpu.ops.pallas.bell_spmm import bell_spmm_pallas
+cols = rng.integers(0, N, 4096 * K).astype(np.int32)
+vv = jnp.asarray(rng.normal(size=(4096, K)).astype(np.float32))
+out = bell_spmm_pallas(x, cols, vv, K, rows_per_chunk=R, use_gather=False)
+out.block_until_ready()
+ref = jnp.einsum('bk,bkf->bf', vv, x[cols].reshape(4096, K, -1))
+assert jnp.allclose(out, ref, atol=1e-3), 'WRONG RESULT'
 """ % os.path.dirname(HERE)),
 }
 
