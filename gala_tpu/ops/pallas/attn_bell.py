@@ -1,13 +1,25 @@
-"""Fused Pallas attention forward for binned-ELL bin segments.
+"""Fused Pallas attention for binned-ELL bin segments, one-hot form.
 
 One kernel per degree-class bin computes, for each chunk of virtual
-rows, the ENTIRE fused-attention forward in VMEM: block-DMA staging of
-the [x | vl] rows (multiple rows per descriptor, double-buffered across
-grid steps — same plan machinery as ops.pallas.bell_spmm), in-VMEM slot
-gather, per-head masked leaky-relu softmax, and the weighted feature
-reduce.  No (S, hf+H) slot intermediate ever touches HBM — the XLA
-chunked path (ops/attention._attn_fwd_chunked) streams that buffer
-through HBM once per chunk; here it lives only in VMEM.
+rows, the fused-attention pass in VMEM: block-DMA staging of the
+[x | vl] rows (multiple rows per descriptor, double-buffered across
+grid steps — same plan machinery and SMEM-windowed block tables as
+ops.pallas.bell_spmm), per-head masked leaky-relu softmax, and the
+weighted feature reduce.  No (S, hf+H) slot intermediate ever touches
+HBM — the XLA chunked path (ops/attention._attn_fwd_chunked) streams
+that buffer through HBM once per chunk; here it lives only in VMEM.
+
+r3 slot resolution: v5e Mosaic cannot compile in-VMEM dynamic gathers
+(bell_spmm docstring), so every per-slot access is expressed through
+the per-slot one-hot matrix hit_j[v, u] = [locals[v, j] == u]:
+  - per-slot scalars (scores, saved stats):  hit_j @ tab[:, cols]
+    — a thin (r, u8) @ (u8, c) MXU matmul per slot column;
+  - per-slot feature dots (dp = <do_v, x_slot>):  rowsum(hit_j * G)
+    with G = do @ tab_vals^T computed ONCE per head on the MXU
+    (the staged-table SDDMM trick);
+  - weighted feature reduces (out = sum_j p_j * x_slot):
+    W = sum_j p[:, j, None] * hit_j, then W @ tab_vals — exactly
+    bell_spmm's one-hot reduce with runtime edge values.
 
 This is the TPU shape of the reference's fused GAT edge-kernel suite
 (reference: src/codegen/cuda.h:504-953: SDDVV + inplace softmax + SpMM
@@ -38,7 +50,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gala_tpu.ops.pallas.bell_spmm import BLK, BellPlan, _vmem_gather
+from gala_tpu.ops.pallas.bell_spmm import (
+    BLK, BellPlan, block_specs, stage_blocks, _mxu_dot,
+)
 
 _NEG = -1e30
 _STATS_LANES = 128  # m|s packed into one (r, 128) stats output
@@ -48,50 +62,34 @@ def _lrelu(z, slope):
     return jnp.where(z > 0, z, slope * z)
 
 
-def _stage_blocks(blocks_ref, xx_hbm, staged, sems, u):
-    """Double-buffered block-DMA staging: issue chunk c+1's copies into
-    slot (c+1)%2, wait on chunk c's in slot c%2.  Returns the staged
-    (u*BLK, f_pad) table view for the current chunk."""
-    pid = pl.program_id(0)
-    n_chunks = pl.num_programs(0)
-
-    def issue_chunk(c, slot):
-        def issue(i, _):
-            pltpu.make_async_copy(
-                xx_hbm.at[pl.ds(blocks_ref[c, i] * BLK, BLK), :],
-                staged.at[slot, pl.ds(i * BLK, BLK), :],
-                sems.at[slot],
-            ).start()
-            return 0
-
-        jax.lax.fori_loop(0, u, issue, 0)
-
-    def wait_chunk(slot):
-        def wait(i, _):
-            pltpu.make_async_copy(
-                xx_hbm.at[pl.ds(0, BLK), :],
-                staged.at[slot, pl.ds(i * BLK, BLK), :],
-                sems.at[slot],
-            ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, u, wait, 0)
-
-    @pl.when(pid == 0)
-    def _():
-        issue_chunk(0, 0)
-
-    @pl.when(pid + 1 < n_chunks)
-    def _():
-        issue_chunk(pid + 1, (pid + 1) % 2)
-
-    wait_chunk(pid % 2)
-    return staged[pid % 2]
+def _hits_iota(r, u8):
+    return jax.lax.broadcasted_iota(jnp.int32, (r, u8), 1)
 
 
-def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
+def _hit(locals_, j, iota):
+    """hit_j (r, u8) f32 one-hot of slot column j (lane slice +
+    [:, None] keeps native layout — the only index ops Mosaic takes)."""
+    return (locals_[:, j][:, None] == iota).astype(jnp.float32)
+
+
+def _cols_f32(tab, lo, hi):
+    return tab[:, lo:hi].astype(jnp.float32)
+
+
+def _sddmm_g(rows_f32, tab_cols):
+    """G (r, u8) = rows @ tab_cols^T on the MXU — per-(row, staged-row)
+    feature dots, extracted per slot with rowsum(hit_j * G)."""
+    return jax.lax.dot_general(
+        rows_f32, tab_cols.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _kernel(bc_ref, bn_ref, locals_ref, w_ref, vr_ref, xx_hbm,
             out_ref, stats_ref, staged, sems,
-            *, u, k, hf, fh, nh, slope, f_pad, out_pad, normalize):
+            *, u, k, hf, fh, nh, slope, f_pad, out_pad, normalize,
+            precision):
     """Grid step c: softmax-attend chunk c from staging slot c%2 while
     chunk c+1's block DMAs land in slot (c+1)%2.
 
@@ -99,20 +97,27 @@ def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
     class (acc = sum_k exp(z - m) * x with raw m = rowmax): virtual rows
     of one hub node combine afterwards with the standard blockwise
     online-softmax merge (exp(m_v - M) rescaling) in tiny XLA segment
-    ops — the expensive slot gather + reduce stays in this kernel."""
+    ops — the expensive slot reduce stays in this kernel."""
     r = locals_ref.shape[1]
-    tab = _stage_blocks(blocks_ref, xx_hbm, staged, sems, u)
+    u8 = u * BLK
+    tab = stage_blocks(bc_ref, bn_ref, xx_hbm, staged, sems, u)
     locals_ = locals_ref[0]                       # (r, k)
     w = w_ref[0]                                  # (r, k) occupancy mask
     vr = vr_ref[0]                                # (r, nh)
-    seg = _vmem_gather(tab, locals_.reshape(-1)).reshape(r, k, f_pad)
+    iota = _hits_iota(r, u8)
+    sc = _cols_f32(tab, hf, hf + nh)              # (u8, nh) score cols
+
+    # pass 1: per-slot scores via hit_j @ score-cols (thin MXU matvecs)
+    z0 = [jnp.dot(_hit(locals_, j, iota), sc,
+                  preferred_element_type=jnp.float32)
+          for j in range(k)]                      # k x (r, nh)
 
     outs, ms, ss = [], [], []
     for h in range(nh):
-        z = seg[..., hf + h].astype(jnp.float32) + vr[:, h][:, None].astype(
-            jnp.float32
-        )
-        z = jnp.where(w != 0, _lrelu(z, slope), _NEG)
+        z_h = jnp.concatenate([z0[j][:, h : h + 1] for j in range(k)],
+                              axis=1)             # (r, k)
+        zpre = z_h + vr[:, h][:, None].astype(jnp.float32)
+        z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
         m = jnp.max(z, axis=1)
         if normalize:
             m = jnp.maximum(m, _NEG / 2)
@@ -121,15 +126,12 @@ def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
         if normalize:
             s = jnp.where(s > 0, s, 1.0)
             p = p / s[:, None]
-        # batched-contraction einsums do not lower in Mosaic — the
-        # weighted reduce runs as broadcast-mult + middle-axis sum
-        outs.append(
-            jnp.sum(
-                p[..., None]
-                * seg[..., h * fh : (h + 1) * fh].astype(jnp.float32),
-                axis=1,
-            )
-        )
+        # pass 2 (per head): W = sum_j p_j * hit_j, out = W @ val-cols
+        wmat = jnp.zeros((r, u8), jnp.float32)
+        for j in range(k):
+            wmat = wmat + p[:, j][:, None] * _hit(locals_, j, iota)
+        outs.append(_mxu_dot(wmat, tab[:, h * fh : (h + 1) * fh],
+                             precision))
         ms.append(m)
         ss.append(s)
     out = jnp.concatenate(outs, axis=1) if nh > 1 else outs[0]  # (r, hf)
@@ -146,7 +148,7 @@ def _kernel(blocks_ref, locals_ref, w_ref, vr_ref, xx_hbm,
 
 def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
                      slope: float, interpret: bool = False,
-                     normalize: bool = True):
+                     normalize: bool = True, precision=None):
     """Fused attention forward for one pre-planned k-wide bin segment.
 
     xx: (n', f_pad) padded [x | vl] table (f_pad % 128 == 0, rows cover
@@ -167,32 +169,30 @@ def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
     vr_pad = jnp.zeros((c_chunks * r, nh), jnp.float32).at[:nb].set(
         vr_rows.astype(jnp.float32)
     )
+    blocks3 = plan.blocks.reshape(c_chunks, 1, u)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    kern = functools.partial(
+        _kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
+        f_pad=f_pad, out_pad=out_pad, normalize=normalize,
+        precision=precision,
+    )
+    out, stats = pl.pallas_call(
+        kern,
         grid=(c_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec((1, r, nh), lambda c, blocks: (c, 0, 0)),
+        in_specs=block_specs(c_chunks, u) + [
+            pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, r, nh), lambda c: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((r, out_pad), lambda c, blocks: (c, 0)),
-            pl.BlockSpec((r, _STATS_LANES), lambda c, blocks: (c, 0)),
+            pl.BlockSpec((r, out_pad), lambda c: (c, 0)),
+            pl.BlockSpec((r, _STATS_LANES), lambda c: (c, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, u * BLK, f_pad), xx.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    kern = functools.partial(
-        _kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
-        f_pad=f_pad, out_pad=out_pad, normalize=normalize,
-    )
-    out, stats = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
         out_shape=[
             # hub partials stay f32: they are rescaled and summed across
             # virtual rows after the kernel
@@ -204,7 +204,7 @@ def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
         ],
         interpret=interpret,
     )(
-        plan.blocks,
+        blocks3, blocks3,
         plan.locals_.reshape(c_chunks, r, k),
         w_pad.reshape(c_chunks, r, k),
         vr_pad.reshape(c_chunks, r, nh),
@@ -215,35 +215,42 @@ def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
     return out[:nb, :hf], m, s
 
 
-def _bwd1_kernel(blocks_ref, locals_ref, w_ref, aux_ref, xx_hbm,
+def _bwd1_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, xx_hbm,
                  stats_ref, staged, sems,
                  *, u, k, hf, fh, nh, slope, f_pad):
     """Backward pass-1 (forward layout): per-destination-row stats
       sds = sum_k p*dp,  A = sum p*dp*lrelu',  B = sum p*lrelu'
     with p recomputed from the saved per-node (m, s)
     (ops/attention._head_bwd_stats math).  aux rows pack
-    [dout (hf) | vr (nh) | m (nh) | s (nh)]."""
+    [dout (hf) | vr (nh) | m (nh) | s (nh)].  Per head: G = do @
+    x-cols^T once on the MXU, then per-slot dots via rowsum(hit*G)."""
     r = locals_ref.shape[1]
-    tab = _stage_blocks(blocks_ref, xx_hbm, staged, sems, u)
+    u8 = u * BLK
+    tab = stage_blocks(bc_ref, bn_ref, xx_hbm, staged, sems, u)
     locals_ = locals_ref[0]                       # (r, k)
     w = w_ref[0]                                  # (r, k)
     aux = aux_ref[0]                              # (r, a_pad)
-    seg = _vmem_gather(tab, locals_.reshape(-1)).reshape(r, k, f_pad)
+    iota = _hits_iota(r, u8)
+    sc = _cols_f32(tab, hf, hf + nh)              # (u8, nh)
+
+    z0 = [jnp.dot(_hit(locals_, j, iota), sc,
+                  preferred_element_type=jnp.float32)
+          for j in range(k)]                      # k x (r, nh)
 
     outs = []
     for h in range(nh):
         vr_h = aux[:, hf + h][:, None].astype(jnp.float32)
         m_h = aux[:, hf + nh + h][:, None].astype(jnp.float32)
         s_h = aux[:, hf + 2 * nh + h][:, None].astype(jnp.float32)
-        zpre = seg[..., hf + h].astype(jnp.float32) + vr_h
+        do = aux[:, h * fh : (h + 1) * fh].astype(jnp.float32)
+        g = _sddmm_g(do, tab[:, h * fh : (h + 1) * fh])   # (r, u8)
+        zpre = jnp.concatenate(
+            [z0[j][:, h : h + 1] for j in range(k)], axis=1) + vr_h
         z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
         p = jnp.where(w != 0, jnp.exp(z - m_h) / s_h, 0.0)
-        do = aux[:, h * fh : (h + 1) * fh].astype(jnp.float32)
-        dp = jnp.sum(
-            seg[..., h * fh : (h + 1) * fh].astype(jnp.float32)
-            * do[:, None, :],
-            axis=-1,
-        )
+        dp = jnp.concatenate(
+            [jnp.sum(_hit(locals_, j, iota) * g, axis=1)[:, None]
+             for j in range(k)], axis=1)                  # (r, k)
         lr = jnp.where(zpre > 0, 1.0, slope)
         outs.append(jnp.sum(p * dp, axis=1))           # sds
         outs.append(jnp.sum(p * dp * lr, axis=1))      # A
@@ -275,37 +282,34 @@ def attn_bwd1_planned(plan: BellPlan, xx, w, vr_rows, dout_rows, m_rows,
     aux = aux.at[:, hf + 2 * nh : hf + 3 * nh].set(1.0)
     aux = aux.at[:nb, hf + 2 * nh : hf + 3 * nh].set(s_rows)
     w_pad = jnp.zeros((c_chunks * r, k), w.dtype).at[:nb].set(w)
+    blocks3 = plan.blocks.reshape(c_chunks, 1, u)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(c_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec((1, r, a_pad), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((r, _STATS_LANES), lambda c, blocks: (c, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, u * BLK, f_pad), xx.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     kern = functools.partial(
         _bwd1_kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
         f_pad=f_pad,
     )
     (stats,) = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid=(c_chunks,),
+        in_specs=block_specs(c_chunks, u) + [
+            pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, r, a_pad), lambda c: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, _STATS_LANES), lambda c: (c, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, u * BLK, f_pad), xx.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((c_chunks * r, _STATS_LANES), jnp.float32),
         ],
         interpret=interpret,
     )(
-        plan.blocks,
+        blocks3, blocks3,
         plan.locals_.reshape(c_chunks, r, k),
         w_pad.reshape(c_chunks, r, k),
         aux.reshape(c_chunks, r, a_pad),
@@ -316,36 +320,58 @@ def attn_bwd1_planned(plan: BellPlan, xx, w, vr_rows, dout_rows, m_rows,
     return st[..., 0], st[..., 1], st[..., 2]
 
 
-def _bwd2_kernel(blocks_ref, locals_ref, w_ref, aux_ref, wtab_hbm,
+def _bwd2_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, wtab_hbm,
                  out_ref, staged, sems,
                  *, u, k, hf, fh, nh, slope, f_pad, out_pad):
     """Backward pass-2 (transpose layout): slot gradients for all heads
-    (ops/attention._slot_grads math).  Gathered rows are the
+    (ops/attention._slot_grads math).  Staged rows are the
     destination-side [dout | vr | m | s | sds] table; aux rows pack this
-    source node's [x (hf) | vl (nh)]."""
+    source node's [x (hf) | vl (nh)].  Per head: G = x @ dout-cols^T
+    once on the MXU; per-slot scalars via hit_j @ [vr|m|s|sds] cols;
+    dx via the one-hot W reduce."""
     r = locals_ref.shape[1]
-    tab = _stage_blocks(blocks_ref, wtab_hbm, staged, sems, u)
+    u8 = u * BLK
+    tab = stage_blocks(bc_ref, bn_ref, wtab_hbm, staged, sems, u)
     locals_ = locals_ref[0]                       # (r, k)
     w = w_ref[0]                                  # (r, k)
     aux = aux_ref[0]                              # (r, a_pad) [x | vl]
-    seg = _vmem_gather(tab, locals_.reshape(-1)).reshape(r, k, f_pad)
+    iota = _hits_iota(r, u8)
+    sc = _cols_f32(tab, hf, hf + 4 * nh)          # (u8, 4nh) [vr|m|s|sds]
+
+    sg = [jnp.dot(_hit(locals_, j, iota), sc,
+                  preferred_element_type=jnp.float32)
+          for j in range(k)]                      # k x (r, 4nh)
 
     dx_h, dvl_h = [], []
     for h in range(nh):
-        do = seg[..., h * fh : (h + 1) * fh].astype(jnp.float32)
-        vr_g = seg[..., hf + h].astype(jnp.float32)
-        m_g = seg[..., hf + nh + h].astype(jnp.float32)
-        s_g = seg[..., hf + 2 * nh + h].astype(jnp.float32)
-        sds_g = seg[..., hf + 3 * nh + h].astype(jnp.float32)
         vl_c = aux[:, hf + h][:, None].astype(jnp.float32)
         x_c = aux[:, h * fh : (h + 1) * fh].astype(jnp.float32)
+        g = _sddmm_g(x_c, tab[:, h * fh : (h + 1) * fh])  # (r, u8)
+        vr_g = jnp.concatenate(
+            [sg[j][:, h : h + 1] for j in range(k)], axis=1)
+        m_g = jnp.concatenate(
+            [sg[j][:, nh + h : nh + h + 1] for j in range(k)], axis=1)
+        s_g = jnp.concatenate(
+            [sg[j][:, 2 * nh + h : 2 * nh + h + 1] for j in range(k)],
+            axis=1)
+        sds_g = jnp.concatenate(
+            [sg[j][:, 3 * nh + h : 3 * nh + h + 1] for j in range(k)],
+            axis=1)
+        # pad slots never hit the mask branch but keep s=1-safe anyway
+        s_g = jnp.where(s_g != 0, s_g, 1.0)
         zpre = vl_c + vr_g
         z = jnp.where(w != 0, _lrelu(zpre, slope), _NEG)
         p = jnp.where(w != 0, jnp.exp(z - m_g) / s_g, 0.0)
-        dp = jnp.sum(do * x_c[:, None, :], axis=-1)
+        dp = jnp.concatenate(
+            [jnp.sum(_hit(locals_, j, iota) * g, axis=1)[:, None]
+             for j in range(k)], axis=1)                  # (r, k)
         ds = p * (dp - sds_g)
         dz = ds * jnp.where(zpre > 0, 1.0, slope)
-        dx_h.append(jnp.sum(p[..., None] * do, axis=1))
+        wmat = jnp.zeros((r, u8), jnp.float32)
+        for j in range(k):
+            wmat = wmat + p[:, j][:, None] * _hit(locals_, j, iota)
+        dx_h.append(jnp.dot(wmat, tab[:, h * fh : (h + 1) * fh].astype(
+            jnp.float32), preferred_element_type=jnp.float32))
         dvl_h.append(jnp.sum(dz, axis=1)[:, None])
     dx = jnp.concatenate(dx_h, axis=1) if nh > 1 else dx_h[0]
     dvl = jnp.concatenate(dvl_h, axis=1) if nh > 1 else dvl_h[0]
@@ -376,37 +402,34 @@ def attn_bwd2_planned(plan: BellPlan, wtab, w, x_rows, vl_rows, hf: int,
     aux = aux.at[:nb, :hf].set(x_rows.astype(jnp.float32))
     aux = aux.at[:nb, hf : hf + nh].set(vl_rows.astype(jnp.float32))
     w_pad = jnp.zeros((c_chunks * r, k), w.dtype).at[:nb].set(w)
+    blocks3 = plan.blocks.reshape(c_chunks, 1, u)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(c_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec((1, r, a_pad), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((r, out_pad), lambda c, blocks: (c, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, u * BLK, f_pad), wtab.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     kern = functools.partial(
         _bwd2_kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
         f_pad=f_pad, out_pad=out_pad,
     )
     (out,) = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid=(c_chunks,),
+        in_specs=block_specs(c_chunks, u) + [
+            pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, r, a_pad), lambda c: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, out_pad), lambda c: (c, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, u * BLK, f_pad), wtab.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((c_chunks * r, out_pad), jnp.float32),
         ],
         interpret=interpret,
     )(
-        plan.blocks,
+        blocks3, blocks3,
         plan.locals_.reshape(c_chunks, r, k),
         w_pad.reshape(c_chunks, r, k),
         aux.reshape(c_chunks, r, a_pad),

@@ -13,17 +13,25 @@ CUDA SpMM suite (reference: src/codegen/cuda.h:282-436: one warp
 streams a row of B per neighbor; here one DMA streams 8+ rows and the
 MXU does the reduction).
 
-Two in-VMEM slot-distribution strategies (select with `use_gather`):
-- gather:  seg = staged[locals] via Mosaic dynamic gather, then the
-           proven einsum('vk,vkf->vf') reduce;
+In-VMEM slot distribution (r3, measured on the real toolchain —
+scripts/pallas_bisect.py + probe_onehot.py / probe_bell_full.py):
 - one-hot: W[v, u] = sum_k vals[v,k] * [locals[v,k] == u] built in K
-           VPU passes, out = W @ staged on the MXU — no dynamic
-           addressing at all (fallback if the gather form fails to
-           lower on a given Mosaic version).
+  VPU passes, out = W @ staged on the MXU.  This is the ONLY form the
+  v5e Mosaic backend compiles: tpu.dynamic_gather is "Not implemented:
+  Multiple source vregs along gather dimension", i.e. an in-VMEM
+  take_along_axis gather cannot address a table taller than one vreg
+  (8 sublanes) — every gather-form variant dies in tpu_compile_helper
+  no matter how the indices are laid out.
+- the per-chunk block-id table rides in SMEM-WINDOWED BlockSpecs
+  ((C,1,u) array, (1,1,u) cur/next windows), NOT scalar prefetch: a
+  prefetched operand must fit the 1MB SMEM whole, which silently
+  crashed the compile helper for any real graph (C*u*4B was 4MB at
+  Reddit scale; the cur/next windows are 2*u*4B at any C).
 
-Correctness is validated in interpret mode (tests/test_pallas_bell.py);
-the chip decides which form wins (scripts/bench_pallas_bell.py) before
-it is wired behind choose_strategy.
+Correctness is validated in interpret mode (tests/test_pallas_bell.py)
+and against the XLA reduce on chip; scripts/bench_pallas_bell.py
+measures it vs the XLA one-shot before it is wired into
+choose_strategy.
 """
 from __future__ import annotations
 
@@ -39,29 +47,21 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 8          # table rows per DMA descriptor (8-sublane aligned)
 
 
-def _vmem_gather(tab, flat_idx):
-    """rows = tab[flat_idx] inside a Mosaic kernel.
-
-    Mosaic's dynamic gather (take_along_axis) requires indices shaped
-    like the table — `jnp.take` / advanced indexing do NOT lower
-    ("Shape mismatch in input, indices and output", probed via
-    device-less `.lower(lowering_platforms=('tpu',))`).  So the rk rows
-    gather in ceil(rk/u8) table-shaped passes with lane-broadcast
-    indices.  rk and u8 are both multiples of 8, keeping every slice
-    sublane-aligned."""
-    u8, f = tab.shape
-    rk = flat_idx.shape[0]
-    outs = []
-    for off in range(0, rk, u8):
-        m = min(u8, rk - off)
-        idx = flat_idx[off : off + m]
-        if m < u8:
-            idx = jnp.concatenate([idx, jnp.zeros((u8 - m,), idx.dtype)])
-        g = jnp.take_along_axis(
-            tab, jnp.broadcast_to(idx[:, None], (u8, f)), axis=0
-        )
-        outs.append(g if m == u8 else g[:m])
-    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+def _onehot_w(locals_, vals, u8):
+    """W (r, u8) with W[v, u] = sum_j vals[v, j] * [locals_[v, j] == u],
+    built in k VPU passes.  W @ staged_table then performs the slot
+    gather AND the k-way weighted reduce in one MXU matmul.  Lane
+    slices + [:, None] keep the native (sublane, lane) layout — the
+    only index manipulations v5e Mosaic accepts (an (r,k)->(rk,)
+    reshape, and tpu.dynamic_gather over a >8-row table, both fail;
+    see module docstring)."""
+    r, k = locals_.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r, u8), 1)
+    w = jnp.zeros((r, u8), jnp.float32)
+    for j in range(k):
+        hit = (locals_[:, j][:, None] == iota).astype(jnp.float32)
+        w = w + vals[:, j][:, None].astype(jnp.float32) * hit
+    return w
 
 
 def _chunk_pad(cols: np.ndarray, k: int, rows_per_chunk: int):
@@ -124,20 +124,20 @@ def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int,
     return blocks, locals_, nb, c_chunks, u
 
 
-def _kernel(blocks_ref, locals_ref, vals_ref, x_hbm, out_ref,
-            staged, sems, *, u, k, f, use_gather):
-    """Grid step c computes chunk c from staging slot c%2 while the
-    DMAs for chunk c+1 land in slot (c+1)%2 — scratch and semaphores
-    persist across grid steps, so the block fetches double-buffer
-    against the reduce exactly like the guide's DMA pipeline pattern."""
-    r = locals_ref.shape[1]
+def stage_blocks(bc_ref, bn_ref, x_hbm, staged, sems, u):
+    """Double-buffered 8-row block staging shared by the bell / attn /
+    sddmm kernels.  Grid step pid issues chunk pid+1's block DMAs
+    (ids from the NEXT SMEM window bn_ref) into slot (pid+1)%2, then
+    waits on chunk pid's slot — fetch overlaps the reduce across grid
+    steps, the guide's DMA pipeline pattern.  Returns chunk pid's
+    staged (u*BLK, f) table view."""
     pid = pl.program_id(0)
     n_chunks = pl.num_programs(0)
 
-    def issue_chunk(c, slot):
+    def issue_chunk(b_ref, slot):
         def issue(i, _):
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(blocks_ref[c, i] * BLK, BLK), :],
+                x_hbm.at[pl.ds(b_ref[0, 0, i] * BLK, BLK), :],
                 staged.at[slot, pl.ds(i * BLK, BLK), :],
                 sems.at[slot],
             ).start()
@@ -158,33 +158,50 @@ def _kernel(blocks_ref, locals_ref, vals_ref, x_hbm, out_ref,
 
     @pl.when(pid == 0)
     def _():
-        issue_chunk(0, 0)
+        issue_chunk(bc_ref, 0)
 
     @pl.when(pid + 1 < n_chunks)
     def _():
-        issue_chunk(pid + 1, (pid + 1) % 2)
+        issue_chunk(bn_ref, (pid + 1) % 2)
 
     wait_chunk(pid % 2)
+    return staged[pid % 2]
 
-    locals_ = locals_ref[0]                      # (R, k)
-    vals = vals_ref[0]                           # (R, k)
-    tab = staged[pid % 2]                        # (U*BLK, f)
-    if use_gather:
-        seg = _vmem_gather(tab, locals_.reshape(-1)).reshape(r, k, f)
-        out = jnp.sum(
-            vals[..., None].astype(jnp.float32) * seg.astype(jnp.float32),
-            axis=1,
-        )
-    else:
-        u8 = u * BLK
-        iota = jax.lax.broadcasted_iota(jnp.int32, (r, u8), 1)
-        w = jnp.zeros((r, u8), jnp.float32)
-        for j in range(k):
-            hit = (locals_[:, j][:, None] == iota).astype(jnp.float32)
-            w = w + vals[:, j][:, None] * hit
-        out = jnp.dot(w, tab.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
-    out_ref[...] = out.astype(out_ref.dtype)
+
+def block_specs(c_chunks: int, u: int):
+    """The cur/next SMEM-windowed BlockSpec pair for a (C, 1, u) block
+    table (see module docstring: windowing, not scalar prefetch)."""
+    return [
+        pl.BlockSpec((1, 1, u), lambda c: (c, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, u),
+                     lambda c: (jnp.minimum(c + 1, c_chunks - 1), 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+
+
+def _mxu_dot(w, tab, precision):
+    """(r, u8) f32 one-hot weights @ staged table, f32 accumulate.
+    bf16 tables multiply natively on the MXU (w rounds to bf16 — the
+    table data is already bf16, so no extra signal is lost); f32
+    tables honor `precision` (None = fastest bf16 passes, HIGHEST =
+    f32-exact, the XLA-parity setting)."""
+    if tab.dtype == jnp.bfloat16:
+        return jnp.dot(w.astype(jnp.bfloat16), tab,
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(w, tab.astype(jnp.float32), precision=precision,
+                   preferred_element_type=jnp.float32)
+
+
+def _kernel(bc_ref, bn_ref, locals_ref, vals_ref, x_hbm, out_ref,
+            staged, sems, *, u, k, f, precision):
+    """Grid step c: one-hot W from chunk c's locals/vals, W @ staged
+    table on the MXU — the slot gather and k-way weighted reduce in a
+    single matmul (see module docstring for why gather forms cannot
+    compile)."""
+    tab = stage_blocks(bc_ref, bn_ref, x_hbm, staged, sems, u)
+    w = _onehot_w(locals_ref[0], vals_ref[0], u * BLK)
+    out_ref[...] = _mxu_dot(w, tab, precision).astype(out_ref.dtype)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -270,19 +287,18 @@ def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
     staging cannot fit VMEM) — the executor mixes paths per segment."""
     from gala_tpu.data.ell import _segments
 
-    # budget per staged row: 2 staging slots at the table dtype PLUS the
-    # transient (u8, f_pad) int32 index matrix each _vmem_gather pass
-    # broadcasts (Mosaic's take_along_axis needs table-shaped indices)
-    row_bytes = 2 * max(f_pad, 128) * itemsize + max(f_pad, 128) * 4
-    budget_rows = int(8 << 20) // row_bytes
-    budget_rows = max(min(budget_rows, _MAX_STAGED_ROWS), BLK)
+    # budget per staged row: 2 staging slots at the table dtype PLUS
+    # the one-hot transients — w (r, u8) f32, iota (r, u8) i32 and the
+    # hit temp, ~12 bytes per (r x u8) element, i.e. 12*r per staged
+    # row at the REQUESTED r (make_plan only ever shrinks r, so this
+    # is an upper bound on the actual footprint)
     plans = []
     for k, nb, off in _segments(hb):
         if nb * k < _MIN_PLAN_SLOTS:
             plans.append(None)
             continue
-        # wide-k segments shrink r so the (r, k, f_pad) in-VMEM gathered
-        # segment stays within budget
+        # wide-k segments shrink r so the per-chunk operand set
+        # (locals/vals (r, k) plus the (r, f) output tile) stays modest
         r_seg = max(_SEG_VMEM_BYTES // (k * max(f_pad, 128) * itemsize), 8)
         # the DIR col_tile directive drives the kernels' chunk
         # granularity too (same schedule surface as the XLA paths);
@@ -290,19 +306,30 @@ def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
         r_dir = rows_per_chunk
         if chunk_slots:
             r_dir = max((chunk_slots // k) // 8 * 8, 8)
+        r_req = min(r_dir, r_seg)
+        row_bytes = 2 * max(f_pad, 128) * itemsize + 12 * r_req
+        budget_rows = int(8 << 20) // row_bytes
+        budget_rows = max(min(budget_rows, _MAX_STAGED_ROWS), BLK)
         cols = hb.flat_cols[off : off + nb * k]
         plans.append(
-            make_plan(cols, k, min(r_dir, r_seg),
+            make_plan(cols, k, r_req,
                       max_staged_rows=budget_rows,
                       f_budget=max(f_pad, 128))
         )
     return tuple(plans)
 
 
-def bell_spmm_planned(plan: BellPlan, x, vals, use_gather: bool = True,
-                      interpret: bool = False):
+def bell_spmm_planned(plan: BellPlan, x, vals, precision=None,
+                      interpret: bool = False, use_gather=None):
     """Execute a pre-planned fused bell-SpMM segment (jit-safe: the
-    plan arrays are ordinary device operands)."""
+    plan arrays are ordinary device operands).
+
+    precision: matmul precision for f32 tables (None = fast bf16 MXU
+    passes, ~4e-3 rel err; jax.lax.Precision.HIGHEST = f32-exact,
+    matching the XLA segment-sum path bit-for-bit tolerance).
+    use_gather is accepted and ignored for API compatibility — the
+    gather form cannot compile on v5e Mosaic (module docstring)."""
+    del use_gather
     n, f = x.shape
     assert f % 128 == 0, f
     r, k, u, c_chunks, nb = plan.r, plan.k, plan.u, plan.c_chunks, plan.nb
@@ -312,35 +339,33 @@ def bell_spmm_planned(plan: BellPlan, x, vals, use_gather: bool = True,
             [x, jnp.zeros((plan.n_need - n, f), x.dtype)], axis=0
         )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    blocks3 = plan.blocks.reshape(c_chunks, 1, u)
+    kern = functools.partial(_kernel, u=u, k=k, f=f, precision=precision)
+    out = pl.pallas_call(
+        kern,
         grid=(c_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
-            pl.BlockSpec((1, r, k), lambda c, blocks: (c, 0, 0)),
+        in_specs=block_specs(c_chunks, u) + [
+            pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((r, f), lambda c, blocks: (c, 0)),
+        out_specs=pl.BlockSpec((r, f), lambda c: (c, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, u * BLK, f), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    kern = functools.partial(_kernel, u=u, k=k, f=f, use_gather=use_gather)
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c_chunks * r, f), x.dtype),
         interpret=interpret,
-    )(plan.blocks, plan.locals_, vals_pad.reshape(c_chunks, r, k), x)
+    )(blocks3, blocks3, plan.locals_,
+      vals_pad.reshape(c_chunks, r, k), x)
     return out[:nb]
 
 
 def bell_spmm_pallas(x, cols: np.ndarray, vals, k: int,
-                     rows_per_chunk: int = 256, use_gather: bool = True,
-                     interpret: bool = False):
+                     rows_per_chunk: int = 256, precision=None,
+                     interpret: bool = False, use_gather=None):
     """Convenience: plan (host, trace time) + execute.  See
     bell_spmm_planned for the jit-safe pre-planned form."""
     plan = make_plan(cols, k, rows_per_chunk)
-    return bell_spmm_planned(plan, x, vals, use_gather=use_gather,
-                             interpret=interpret)
+    return bell_spmm_planned(plan, x, vals, precision=precision,
+                             interpret=interpret, use_gather=use_gather)

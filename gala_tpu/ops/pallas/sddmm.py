@@ -9,13 +9,20 @@ ops/spmm._spmm_ev_seg_bwd) and of the reference's
 Same staging machinery as ops/pallas/bell_spmm: the host planner groups
 each edge-chunk's unique a-rows and b-rows into 8-row blocks, the
 kernel DMAs whole blocks into VMEM (multiple rows per descriptor,
-double-buffered across grid steps), gathers both operands from the
-staged tables, and reduces the feature dot on the VPU.  No (E, F)
-intermediate touches HBM.
+double-buffered across grid steps), resolves both operands from the
+staged tables, and reduces the feature dot.
 
-Correctness: interpret mode (tests/test_pallas_bell.py); selection
-against the XLA two-gather form happens on-chip
-(scripts/bench_pallas_bell.py --sddmm).
+r3: the staged-row resolution is a ONE-HOT MXU matmul (rows =
+OneHot(locals) @ stage), not a dynamic gather — v5e Mosaic cannot
+compile in-VMEM gathers over >8-row tables, and scalar-prefetched
+block tables overflow the 1MB SMEM at real graph sizes; block ids ride
+in SMEM-windowed BlockSpecs instead (see bell_spmm's module
+docstring).  NOTE the one-hot form inflates per-edge work by ~u8x
+MXU FLOPs — it exists so the chip can MEASURE the fused form against
+the XLA two-gather SDDMM (scripts/bench_pallas_bell.py --sddmm); the
+XLA form stays the production path unless the numbers say otherwise.
+
+Correctness: interpret mode (tests/test_pallas_bell.py).
 """
 from __future__ import annotations
 
@@ -28,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gala_tpu.ops.pallas.bell_spmm import BLK, _vmem_gather
+from gala_tpu.ops.pallas.bell_spmm import BLK, block_specs
 
 
 def _plan_side(ids2: np.ndarray):
@@ -54,7 +61,7 @@ def _plan_side(ids2: np.ndarray):
 class SddmmPlan:
     a_blocks: jax.Array   # (C, Ua)
     a_locals: jax.Array   # (C, Ec)
-    b_blocks: jax.Array   # (C, Ub)
+    b_blocks: jax.Array   # (C, Ec)
     b_locals: jax.Array   # (C, Ec)
     e_real: int
     c_chunks: int
@@ -75,7 +82,7 @@ class SddmmPlan:
 
 
 def make_sddmm_plan(dst: np.ndarray, src: np.ndarray,
-                    edges_per_chunk: int = 4096) -> SddmmPlan:
+                    edges_per_chunk: int = 1024) -> SddmmPlan:
     e = dst.shape[0]
     ec = edges_per_chunk
     c_chunks = -(-e // ec)
@@ -95,17 +102,40 @@ def make_sddmm_plan(dst: np.ndarray, src: np.ndarray,
     )
 
 
-def _kernel(scalars_ref, a_loc_ref, b_loc_ref, a_hbm, b_hbm, out_ref,
+# column-tile width for the one-hot resolution matmul: bounds the
+# (Ec, tile) one-hot transient to ~2MB at Ec=1024
+_OH_TILE = 2048
+
+
+def _onehot_rows(loc2d, stage):
+    """rows (Ec, f) = stage[loc2d[:, 0]] as a tiled OneHot @ stage MXU
+    matmul (loc2d is (Ec, 1) sublane-major; bell_spmm docstring for why
+    dynamic gathers cannot compile).  bf16 stages multiply natively."""
+    u8, f = stage.shape
+    ec = loc2d.shape[0]
+    mul_dt = jnp.bfloat16 if stage.dtype == jnp.bfloat16 else jnp.float32
+    acc = jnp.zeros((ec, f), jnp.float32)
+    for off in range(0, u8, _OH_TILE):
+        t = min(_OH_TILE, u8 - off)
+        iota = off + jax.lax.broadcasted_iota(jnp.int32, (ec, t), 1)
+        oh = (loc2d == iota).astype(mul_dt)
+        acc = acc + jnp.dot(oh, stage[off : off + t].astype(mul_dt),
+                            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _kernel(sc_ref, sn_ref, a_loc_ref, b_loc_ref, a_hbm, b_hbm, out_ref,
             a_stage, b_stage, sems, *, ua, ub, f):
-    """scalars_ref packs [a_blocks | b_blocks] (C, Ua+Ub).  Staging
-    double-buffers across grid steps like bell_spmm."""
+    """sc/sn pack [a_blocks | b_blocks] (1, 1, Ua+Ub) SMEM windows for
+    the current and next chunk.  Staging double-buffers across grid
+    steps like bell_spmm."""
     pid = pl.program_id(0)
     n_chunks = pl.num_programs(0)
 
-    def issue_chunk(c, slot):
+    def issue_chunk(s_ref, slot):
         def ia(i, _):
             pltpu.make_async_copy(
-                a_hbm.at[pl.ds(scalars_ref[c, i] * BLK, BLK), :],
+                a_hbm.at[pl.ds(s_ref[0, 0, i] * BLK, BLK), :],
                 a_stage.at[slot, pl.ds(i * BLK, BLK), :],
                 sems.at[slot],
             ).start()
@@ -115,7 +145,7 @@ def _kernel(scalars_ref, a_loc_ref, b_loc_ref, a_hbm, b_hbm, out_ref,
 
         def ib(i, _):
             pltpu.make_async_copy(
-                b_hbm.at[pl.ds(scalars_ref[c, ua + i] * BLK, BLK), :],
+                b_hbm.at[pl.ds(s_ref[0, 0, ua + i] * BLK, BLK), :],
                 b_stage.at[slot, pl.ds(i * BLK, BLK), :],
                 sems.at[slot],
             ).start()
@@ -136,19 +166,18 @@ def _kernel(scalars_ref, a_loc_ref, b_loc_ref, a_hbm, b_hbm, out_ref,
 
     @pl.when(pid == 0)
     def _():
-        issue_chunk(0, 0)
+        issue_chunk(sc_ref, 0)
 
     @pl.when(pid + 1 < n_chunks)
     def _():
-        issue_chunk(pid + 1, (pid + 1) % 2)
+        issue_chunk(sn_ref, (pid + 1) % 2)
 
     wait_chunk(pid % 2)
 
-    a_rows = _vmem_gather(a_stage[pid % 2], a_loc_ref[0, 0])    # (Ec, f)
-    b_rows = _vmem_gather(b_stage[pid % 2], b_loc_ref[0, 0])
-    dots = jnp.sum(a_rows.astype(jnp.float32) * b_rows.astype(jnp.float32),
-                   axis=1)
-    out_ref[...] = dots[None, None, :].astype(out_ref.dtype)
+    a_rows = _onehot_rows(a_loc_ref[0], a_stage[pid % 2])    # (Ec, f)
+    b_rows = _onehot_rows(b_loc_ref[0], b_stage[pid % 2])
+    dots = jnp.sum(a_rows * b_rows, axis=1, keepdims=True)   # (Ec, 1)
+    out_ref[...] = dots[None].astype(out_ref.dtype)
 
 
 def sddmm_planned(plan: SddmmPlan, a, b, interpret: bool = False):
@@ -168,44 +197,40 @@ def sddmm_planned(plan: SddmmPlan, a, b, interpret: bool = False):
 
     a = pad_to(a, plan.a_need)
     b = pad_to(b, plan.b_need)
-    scalars = jnp.concatenate([plan.a_blocks, plan.b_blocks], axis=1)
+    c_chunks, ec = plan.c_chunks, plan.ec
+    scalars = jnp.concatenate(
+        [plan.a_blocks, plan.b_blocks], axis=1
+    ).reshape(c_chunks, 1, plan.ua + plan.ub)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(plan.c_chunks,),
-        in_specs=[
-            # (C, 1, Ec): a block's last two dims (1, Ec) equal the
-            # array's — Mosaic's divisible-by-(8,128)-or-equal rule
-            pl.BlockSpec((1, 1, plan.ec), lambda c, s: (c, 0, 0)),
-            pl.BlockSpec((1, 1, plan.ec), lambda c, s: (c, 0, 0)),
+    kern = functools.partial(_kernel, ua=plan.ua, ub=plan.ub, f=f)
+    out = pl.pallas_call(
+        kern,
+        grid=(c_chunks,),
+        in_specs=block_specs(c_chunks, plan.ua + plan.ub) + [
+            # (C, Ec, 1): sublane-major locals — [:, None]-free layout
+            pl.BlockSpec((1, ec, 1), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, ec, 1), lambda c: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, plan.ec), lambda c, s: (c, 0, 0)),
+        out_specs=pl.BlockSpec((1, ec, 1), lambda c: (c, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, plan.ua * BLK, f), a.dtype),
             pltpu.VMEM((2, plan.ub * BLK, f), b.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    kern = functools.partial(_kernel, ua=plan.ua, ub=plan.ub, f=f)
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (plan.c_chunks, 1, plan.ec), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((c_chunks, ec, 1), jnp.float32),
         interpret=interpret,
     )(
-        scalars,
-        plan.a_locals.reshape(plan.c_chunks, 1, plan.ec),
-        plan.b_locals.reshape(plan.c_chunks, 1, plan.ec),
+        scalars, scalars,
+        plan.a_locals.reshape(c_chunks, ec, 1),
+        plan.b_locals.reshape(c_chunks, ec, 1),
         a, b,
     )
     return out.reshape(-1)[: plan.e_real]
 
 
 def sddmm_pallas(a, b, dst: np.ndarray, src: np.ndarray,
-                 edges_per_chunk: int = 4096, interpret: bool = False):
+                 edges_per_chunk: int = 1024, interpret: bool = False):
     plan = make_sddmm_plan(np.asarray(dst), np.asarray(src), edges_per_chunk)
     return sddmm_planned(plan, a, b, interpret=interpret)

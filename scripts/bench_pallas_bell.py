@@ -80,8 +80,13 @@ def main():
     rng = np.random.default_rng(0)
     n, f, nb, k = args.n, args.f, args.nb, args.k
     if args.locality > 0:
+        # sorted per-row windows: consecutive output rows draw from
+        # overlapping table windows, the access pattern an RCM/degree
+        # reorder produces — block reuse ACROSS rows is what the bell
+        # planner converts into fewer DMAs (unsorted bases give every
+        # row a disjoint window: reuse < 1, nothing to stage)
         w = max(int(n * args.locality), 1)
-        base = rng.integers(0, max(n - w, 1), nb)[:, None]
+        base = np.sort(rng.integers(0, max(n - w, 1), nb))[:, None]
         cols = (base + rng.integers(0, w, (nb, k))).reshape(-1).astype(np.int32)
     else:
         cols = rng.integers(0, n, nb * k).astype(np.int32)
@@ -95,15 +100,29 @@ def main():
                     cols_dev, vals, x)
     print(f"xla one-shot: {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
 
-    for form, label in ((True, "pallas gather"), (False, "pallas one-hot")):
-        try:
-            from gala_tpu.ops.pallas.bell_spmm import (
-                bell_spmm_planned, make_plan as _mk,
-            )
+    from gala_tpu.ops.pallas.bell_spmm import (
+        bell_spmm_planned, make_plan as _mk,
+    )
 
-            bplan = _mk(cols, k, args.rows_per_chunk)
+    # same VMEM budget build_segment_plans uses (staging + one-hot
+    # transients); unbudgeted plans overflow VMEM at these sizes
+    itemsize = jnp.dtype(dt).itemsize
+    row_bytes = 2 * max(f, 128) * itemsize + 12 * args.rows_per_chunk
+    budget_rows = max(min(int(8 << 20) // row_bytes, 8192), 8)
+    bplan = _mk(cols, k, args.rows_per_chunk, max_staged_rows=budget_rows)
+    if bplan is None:
+        print("pallas bell: NO PLAN (staging cannot fit VMEM)")
+    else:
+        print(f"plan: r={bplan.r} u8={bplan.u*8} C={bplan.c_chunks} "
+              f"(staged {2*bplan.u*8*max(f,128)*itemsize/1e6:.1f} MB)")
+    prec = jax.lax.Precision.HIGHEST
+    for form, label in ((None, "pallas bell fast"),
+                        (prec, "pallas bell f32 ")):
+        if bplan is None:
+            break
+        try:
             t = timeit_args(
-                functools.partial(bell_spmm_planned, use_gather=form,
+                functools.partial(bell_spmm_planned, precision=form,
                                   interpret=interp),
                 bplan, x, vals)
             print(f"{label}: {t*1e3:8.2f} ms  {nb*k/t/1e6:8.1f}M slots/s")
