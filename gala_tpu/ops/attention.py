@@ -534,6 +534,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             o_b, m_b, s_b = attn_fwd_planned(
                 plan, xx_pallas, w, vr_bin[r0 : r0 + nb], hf, nh, slope,
                 interpret=jax.default_backend() != "tpu",
+                precision=jax.lax.Precision.HIGHEST,
             )
             parts.append(o_b.astype(x.dtype))
             ms.append(m_b)
@@ -625,7 +626,7 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
         acc_v, m_v, s_v = attn_fwd_planned(
             hub_plan, xx_pallas, b.big_vals, vr_bin[r0 + b.big_vrow],
             hf, nh, slope, interpret=jax.default_backend() != "tpu",
-            normalize=False,
+            normalize=False, precision=jax.lax.Precision.HIGHEST,
         )
         m = jnp.maximum(
             jax.ops.segment_max(

@@ -479,19 +479,22 @@ def choose_strategy(
 def _pallas_auto(c_pad: int, feat_dim: int) -> bool:
     """Opt into the fused Pallas kernels from strategy='auto'.
 
-    Enabled by GALA_PALLAS_AUTO=1 for graphs whose gather table sits
-    above the measured XLA gather cliff (~96MB physical — where the
-    staged/packed XLA fallbacks run at 158-323M rows/s and the fused
-    block-DMA kernels avoid the slot intermediate entirely,
-    docs/PERF_NOTES.md).  Off by default until the chip microbenches
-    (scripts/bench_pallas_bell.py) confirm the win on this platform —
-    flip the default on measured evidence, not hope."""
+    DEFAULT ON (r3) for graphs whose gather table sits above the
+    measured XLA gather cliff (~96MB physical — where the staged/packed
+    XLA fallbacks run at 158-323M rows/s): the one-hot bell kernel is
+    chip-measured at 4.3-9.7x over the XLA one-shot whenever staged-row
+    reuse >= ~3 (results_r3/pallas_bell_onehot.txt), and the per-segment
+    planner keeps a plan ONLY above the measured break-even
+    (bell_spmm._reuse_ok), so low-locality segments transparently stay
+    on XLA.  GALA_PALLAS_AUTO=0 disables; =1 forces even below the
+    table-size gate."""
     import os
 
-    if os.environ.get("GALA_PALLAS_AUTO") != "1":
+    flag = os.environ.get("GALA_PALLAS_AUTO", "")
+    if flag == "0":
         return False
     phys = ((feat_dim + 127) // 128) * 128
-    if c_pad * phys * 4 <= (96 << 20):
+    if flag != "1" and c_pad * phys * 4 <= (96 << 20):
         return False
     # never hand a dead Mosaic toolchain a kernel: probe once (round-2's
     # tunnel 500'd every Pallas compile while XLA worked; a user flipping

@@ -47,17 +47,28 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 8          # table rows per DMA descriptor (8-sublane aligned)
 
 
-def _onehot_w(locals_, vals, u8):
-    """W (r, u8) with W[v, u] = sum_j vals[v, j] * [locals_[v, j] == u],
-    built in k VPU passes.  W @ staged_table then performs the slot
-    gather AND the k-way weighted reduce in one MXU matmul.  Lane
-    slices + [:, None] keep the native (sublane, lane) layout — the
-    only index manipulations v5e Mosaic accepts (an (r,k)->(rk,)
-    reshape, and tpu.dynamic_gather over a >8-row table, both fail;
-    see module docstring)."""
+# u8-tile width for every one-hot sweep: bounds the live (r, tile)
+# transients (hit/w/iota, ~12*r*tile bytes) regardless of how many
+# staged rows a chunk has — an untiled sweep at u8~1400, k=16 keeps
+# ~22MB of hit matrices live and crashes the compiler (VMEM)
+_OH_TILE = 1024
+
+
+def _oh_iota(r, t, off):
+    return off + jax.lax.broadcasted_iota(jnp.int32, (r, t), 1)
+
+
+def _onehot_w_tile(locals_, vals, iota):
+    """w (r, t) with w[v, u] = sum_j vals[v, j] * [locals_[v, j] ==
+    iota[v, u]] — one u8-tile of the one-hot weight matrix, built in k
+    VPU passes.  w @ staged_tile then performs the slot gather AND the
+    k-way weighted reduce in one MXU matmul.  Lane slices + [:, None]
+    keep the native (sublane, lane) layout — the only index
+    manipulations v5e Mosaic accepts (an (r,k)->(rk,) reshape, and
+    tpu.dynamic_gather over a >8-row table, both fail; see module
+    docstring)."""
     r, k = locals_.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (r, u8), 1)
-    w = jnp.zeros((r, u8), jnp.float32)
+    w = jnp.zeros(iota.shape, jnp.float32)
     for j in range(k):
         hit = (locals_[:, j][:, None] == iota).astype(jnp.float32)
         w = w + vals[:, j][:, None].astype(jnp.float32) * hit
@@ -194,14 +205,26 @@ def _mxu_dot(w, tab, precision):
 
 
 def _kernel(bc_ref, bn_ref, locals_ref, vals_ref, x_hbm, out_ref,
-            staged, sems, *, u, k, f, precision):
-    """Grid step c: one-hot W from chunk c's locals/vals, W @ staged
-    table on the MXU — the slot gather and k-way weighted reduce in a
-    single matmul (see module docstring for why gather forms cannot
+            staged, sems, *, u, k, f, precision, lo, fo, fo_pad):
+    """Grid step c: tiled one-hot W from chunk c's locals/vals,
+    W @ staged table (lane columns [lo, lo+fo)) on the MXU — the slot
+    gather and k-way weighted reduce in a single (tile-accumulated)
+    matmul (see module docstring for why gather forms cannot
     compile)."""
     tab = stage_blocks(bc_ref, bn_ref, x_hbm, staged, sems, u)
-    w = _onehot_w(locals_ref[0], vals_ref[0], u * BLK)
-    out_ref[...] = _mxu_dot(w, tab, precision).astype(out_ref.dtype)
+    locals_, vals = locals_ref[0], vals_ref[0]
+    r = locals_.shape[0]
+    u8 = u * BLK
+    acc = jnp.zeros((r, fo), jnp.float32)
+    for off in range(0, u8, _OH_TILE):
+        t = min(_OH_TILE, u8 - off)
+        w = _onehot_w_tile(locals_, vals, _oh_iota(r, t, off))
+        acc = acc + _mxu_dot(w, tab[off : off + t, lo : lo + fo],
+                             precision)
+    if fo_pad > fo:
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((r, fo_pad - fo), jnp.float32)], axis=1)
+    out_ref[...] = acc.astype(out_ref.dtype)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -272,26 +295,42 @@ def make_plan(cols: np.ndarray, k: int, rows_per_chunk: int = 256,
 # pallas_call per tiny bin costs more in launch/compile than it saves)
 _MIN_PLAN_SLOTS = 1 << 15
 # default VMEM budget for the double-buffered staging scratch: rows such
-# that 2 * rows * 128 lanes * 4B ~ 8MB, half of the ~16MB/core VMEM
+# that 2 * rows * f_pad lanes * itemsize ~ 10MB (the tiled one-hot
+# transients are a fixed ~12 * r * _OH_TILE ~ 3MB on top)
 _MAX_STAGED_ROWS = 8192
-# budget for the in-kernel (r, k, f_pad) gathered segment: r shrinks so
-# this buffer stays ~4MB (staging 8MB + seg 4MB + out/indices < 16MB VMEM)
+_STAGING_BYTES = 10 << 20
+# budget for the per-chunk operand set: r shrinks for wide-k segments
 _SEG_VMEM_BYTES = 4 << 20
+# chunks whose slots reuse staged rows fewer than this many times run
+# the XLA gather path instead: the kernel's MXU/VPU work scales with
+# staged rows, its win with reuse.  Chip-measured (results_r3/
+# pallas_bell_onehot.txt): reuse 3.0 -> 4.3x over XLA one-shot, 5.2 ->
+# 6.3x, 12.8 -> 9.7x; sub-1 reuse loses 2-4x.
+_REUSE_MIN = 2.0
+# plans budget-shrunk below this r are descriptor-issue bound (r=16
+# measured at 30M slots/s vs 335M at r=256) — refuse instead
+_MIN_R = 64
+
+
+def _reuse_ok(plan: BellPlan) -> bool:
+    import os
+
+    reuse_min = float(os.environ.get("GALA_PALLAS_REUSE_MIN", _REUSE_MIN))
+    reuse = (plan.nb * plan.k) / float(plan.c_chunks * plan.u * BLK)
+    return reuse >= reuse_min and plan.r >= _MIN_R
 
 
 def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
                         rows_per_chunk: int = 256, chunk_slots: int = 0):
     """Per-segment BellPlans for a HostBinnedEll, in _bell_raw's segment
     order (degree-class bins, then the hub block).  Entries are None for
-    segments where the fused kernel should not run (too few slots, or
-    staging cannot fit VMEM) — the executor mixes paths per segment."""
+    segments where the fused kernel should not run (too few slots,
+    staging cannot fit VMEM, or staged-row reuse below the measured
+    break-even) — the executor mixes paths per segment."""
     from gala_tpu.data.ell import _segments
 
-    # budget per staged row: 2 staging slots at the table dtype PLUS
-    # the one-hot transients — w (r, u8) f32, iota (r, u8) i32 and the
-    # hit temp, ~12 bytes per (r x u8) element, i.e. 12*r per staged
-    # row at the REQUESTED r (make_plan only ever shrinks r, so this
-    # is an upper bound on the actual footprint)
+    budget_rows = _STAGING_BYTES // (2 * max(f_pad, 128) * itemsize)
+    budget_rows = max(min(budget_rows, _MAX_STAGED_ROWS), BLK)
     plans = []
     for k, nb, off in _segments(hb):
         if nb * k < _MIN_PLAN_SLOTS:
@@ -306,32 +345,40 @@ def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
         r_dir = rows_per_chunk
         if chunk_slots:
             r_dir = max((chunk_slots // k) // 8 * 8, 8)
-        r_req = min(r_dir, r_seg)
-        row_bytes = 2 * max(f_pad, 128) * itemsize + 12 * r_req
-        budget_rows = int(8 << 20) // row_bytes
-        budget_rows = max(min(budget_rows, _MAX_STAGED_ROWS), BLK)
-        cols = hb.flat_cols[off : off + nb * k]
-        plans.append(
-            make_plan(cols, k, r_req,
-                      max_staged_rows=budget_rows,
-                      f_budget=max(f_pad, 128))
-        )
+        plan = make_plan(cols=hb.flat_cols[off : off + nb * k], k=k,
+                         rows_per_chunk=min(r_dir, r_seg),
+                         max_staged_rows=budget_rows,
+                         f_budget=max(f_pad, 128))
+        if plan is not None and not _reuse_ok(plan):
+            plan = None
+        plans.append(plan)
     return tuple(plans)
 
 
 def bell_spmm_planned(plan: BellPlan, x, vals, precision=None,
-                      interpret: bool = False, use_gather=None):
+                      interpret: bool = False, use_gather=None,
+                      col_range: tuple[int, int] | None = None,
+                      out_dtype=None):
     """Execute a pre-planned fused bell-SpMM segment (jit-safe: the
     plan arrays are ordinary device operands).
 
     precision: matmul precision for f32 tables (None = fast bf16 MXU
     passes, ~4e-3 rel err; jax.lax.Precision.HIGHEST = f32-exact,
     matching the XLA segment-sum path bit-for-bit tolerance).
+    col_range=(lo, hi): reduce only table lanes [lo, hi) — the per-head
+    value columns of the fused-attention composition (attn_bell); the
+    output then has hi-lo columns.
+    out_dtype: output dtype (default x.dtype; the hub-attention
+    composition keeps f32 partials over a bf16 table).
     use_gather is accepted and ignored for API compatibility — the
     gather form cannot compile on v5e Mosaic (module docstring)."""
     del use_gather
+    out_dtype = out_dtype or x.dtype
     n, f = x.shape
     assert f % 128 == 0, f
+    lo, hi = col_range if col_range is not None else (0, f)
+    fo = hi - lo
+    fo_pad = ((fo + 127) // 128) * 128
     r, k, u, c_chunks, nb = plan.r, plan.k, plan.u, plan.c_chunks, plan.nb
     vals_pad = jnp.zeros((c_chunks * r, k), vals.dtype).at[:nb].set(vals)
     if plan.n_need > n:  # table must cover every block DMA
@@ -340,7 +387,8 @@ def bell_spmm_planned(plan: BellPlan, x, vals, precision=None,
         )
 
     blocks3 = plan.blocks.reshape(c_chunks, 1, u)
-    kern = functools.partial(_kernel, u=u, k=k, f=f, precision=precision)
+    kern = functools.partial(_kernel, u=u, k=k, f=f, precision=precision,
+                             lo=lo, fo=fo, fo_pad=fo_pad)
     out = pl.pallas_call(
         kern,
         grid=(c_chunks,),
@@ -349,16 +397,16 @@ def bell_spmm_planned(plan: BellPlan, x, vals, precision=None,
             pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((r, f), lambda c: (c, 0)),
+        out_specs=pl.BlockSpec((r, fo_pad), lambda c: (c, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, u * BLK, f), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((c_chunks * r, f), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((c_chunks * r, fo_pad), out_dtype),
         interpret=interpret,
     )(blocks3, blocks3, plan.locals_,
       vals_pad.reshape(c_chunks, r, k), x)
-    return out[:nb]
+    return out[:nb, :fo]
 
 
 def bell_spmm_pallas(x, cols: np.ndarray, vals, k: int,

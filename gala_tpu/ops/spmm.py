@@ -496,6 +496,9 @@ def _bell_raw(bell, x, n_out_pad):
 
             out = bell_spmm_planned(
                 plan, xp_pallas, vals,
+                # f32-exact MXU passes: chip-measured at no cost over
+                # the fast bf16 form (the kernel is VPU/one-hot bound)
+                precision=jax.lax.Precision.HIGHEST,
                 interpret=jax.default_backend() != "tpu",
             )
             return out[:, :f].astype(x.dtype)
