@@ -339,7 +339,12 @@ class AttnBell:
                 # per-virtual-row partials and the executor merges them
                 # with (n_big)-sized segment ops (fwd: online-softmax
                 # rescale; backward: plain sums)
+                # r=128: the attention kernels run 2-3 fori sweeps whose
+                # bodies all SUM in Mosaic's 16MB stack accounting —
+                # r=256 overflows at real u8 (bwd2 18.8M), r=128 fits
+                # with headroom to u8=4096 (probe_attn.py)
                 return build_segment_plans(h, f_pad=f_pad,
+                                           rows_per_chunk=128,
                                            chunk_slots=chunk_slots)
 
             plans, plans_t = _plans(hb), _plans(hbt)

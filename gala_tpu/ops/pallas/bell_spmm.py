@@ -141,7 +141,8 @@ def stage_blocks(bc_ref, bn_ref, x_hbm, staged, sems, u):
     (ids from the NEXT SMEM window bn_ref) into slot (pid+1)%2, then
     waits on chunk pid's slot — fetch overlaps the reduce across grid
     steps, the guide's DMA pipeline pattern.  Returns chunk pid's
-    staged (u*BLK, f) table view."""
+    staging-slot index (kernels read tiles from staged[slot, ...] —
+    ref reads, so fori_loop tile sweeps slice it dynamically)."""
     pid = pl.program_id(0)
     n_chunks = pl.num_programs(0)
 
@@ -176,7 +177,7 @@ def stage_blocks(bc_ref, bn_ref, x_hbm, staged, sems, u):
         issue_chunk(bn_ref, (pid + 1) % 2)
 
     wait_chunk(pid % 2)
-    return staged[pid % 2]
+    return pid % 2
 
 
 def block_specs(c_chunks: int, u: int):
@@ -189,6 +190,30 @@ def block_specs(c_chunks: int, u: int):
                      lambda c: (jnp.minimum(c + 1, c_chunks - 1), 0, 0),
                      memory_space=pltpu.SMEM),
     ]
+
+
+def _fori_tiles(u8, carry0, tile_fn, tile=_OH_TILE):
+    """Run tile_fn(off, t, carry) -> carry over u8 staged rows in
+    `tile`-row steps: full tiles via lax.fori_loop (ONE iteration's
+    transients live at a time — Mosaic stacks every unrolled
+    iteration's buffers, which is what overflowed the 16MB VMEM at
+    real chunk sizes), plus one static tail call for u8 % tile
+    (pl.ds needs a static size).  Mosaic's stack accounting SUMS the
+    fori body and the tail (no reuse across regions), so a kernel
+    running several sweeps picks a tile small enough that all its
+    bodies fit together (attention uses 512)."""
+    n_full = u8 // tile
+    carry = carry0
+    if n_full:
+        carry = jax.lax.fori_loop(
+            0, n_full,
+            lambda i, c: tile_fn(i * tile, tile, c),
+            carry,
+        )
+    tail = u8 - n_full * tile
+    if tail:
+        carry = tile_fn(n_full * tile, tail, carry)
+    return carry
 
 
 def _mxu_dot(w, tab, precision):
@@ -211,16 +236,17 @@ def _kernel(bc_ref, bn_ref, locals_ref, vals_ref, x_hbm, out_ref,
     gather and k-way weighted reduce in a single (tile-accumulated)
     matmul (see module docstring for why gather forms cannot
     compile)."""
-    tab = stage_blocks(bc_ref, bn_ref, x_hbm, staged, sems, u)
+    slot = stage_blocks(bc_ref, bn_ref, x_hbm, staged, sems, u)
     locals_, vals = locals_ref[0], vals_ref[0]
     r = locals_.shape[0]
     u8 = u * BLK
-    acc = jnp.zeros((r, fo), jnp.float32)
-    for off in range(0, u8, _OH_TILE):
-        t = min(_OH_TILE, u8 - off)
+
+    def tile(off, t, acc):
         w = _onehot_w_tile(locals_, vals, _oh_iota(r, t, off))
-        acc = acc + _mxu_dot(w, tab[off : off + t, lo : lo + fo],
-                             precision)
+        tv = staged[slot, pl.ds(off, t), :][:, lo : lo + fo]
+        return acc + _mxu_dot(w, tv, precision)
+
+    acc = _fori_tiles(u8, jnp.zeros((r, fo), jnp.float32), tile)
     if fo_pad > fo:
         acc = jnp.concatenate(
             [acc, jnp.zeros((r, fo_pad - fo), jnp.float32)], axis=1)
@@ -344,7 +370,10 @@ def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
         # rounded to the 8-sublane grain make_plan needs
         r_dir = rows_per_chunk
         if chunk_slots:
-            r_dir = max((chunk_slots // k) // 8 * 8, 8)
+            # the DIR directive picks the granularity but never above
+            # the caller's r cap (VMEM stack budget, see ops/attention)
+            r_dir = min(max((chunk_slots // k) // 8 * 8, 8),
+                        rows_per_chunk)
         plan = make_plan(cols=hb.flat_cols[off : off + nb * k], k=k,
                          rows_per_chunk=min(r_dir, r_seg),
                          max_staged_rows=budget_rows,

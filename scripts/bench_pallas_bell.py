@@ -170,8 +170,10 @@ def main():
         # in-kernel gather passes broadcast
         wt_budget = ((hf + 4 * nh + 127) // 128) * 128
         fb = max(f_pad, wt_budget)
-        budget_rows = max((8 << 20) // (2 * fb * itemsize + fb * 4), 8)
-        plan = make_plan(cols, k, rows_per_chunk=args.rows_per_chunk,
+        budget_rows = max(min((10 << 20) // (2 * fb * itemsize), 8192), 8)
+        # r=128: the library's attention plan cap (VMEM stack budget,
+        # ops/attention._plans)
+        plan = make_plan(cols, k, rows_per_chunk=128,
                          max_staged_rows=budget_rows,
                          f_budget=max(f_pad, wt_budget))
         if plan is None:
