@@ -72,6 +72,19 @@ _STATS_LANES = 128  # m|s packed into one (r, 128) stats output
 _ATTN_TILE = 512
 
 
+def _attn_tile(u8, f_pad, itemsize):
+    """Sweep-tile width for the attention kernels: the double-buffered
+    staging scratch (2*u8*f_pad) and the rolled sweep bodies
+    (~r*tile transients per sweep) share the 16MB VMEM stack, so big
+    staged tables shrink the tile (measured: r=256 u8=4096 f_pad=256
+    f32 = 8.4MB staged overflows by 0.3MB at tile=512)."""
+    staged = 2 * u8 * f_pad * itemsize
+    del staged  # measured: tile 256 GREW the stack (16.95M vs 16.32M at
+    # u8=4096) — body transients are k-unroll-dominated, not
+    # tile-dominated; the plan budget caps staging instead
+    return _ATTN_TILE
+
+
 def _lrelu(z, slope):
     return jnp.where(z > 0, z, slope * z)
 
@@ -112,7 +125,7 @@ def _zcol(packed, j, width, idx):
 def _kernel(bc_ref, bn_ref, locals_ref, w_ref, vr_ref, xx_hbm,
             out_ref, stats_ref, staged, sems,
             *, u, k, hf, fh, nh, slope, f_pad, out_pad, normalize,
-            precision):
+            precision, tile):
     """Grid step c: softmax-attend chunk c from staging slot c%2 while
     chunk c+1's block DMAs land in slot (c+1)%2.
 
@@ -129,8 +142,8 @@ def _kernel(bc_ref, bn_ref, locals_ref, w_ref, vr_ref, xx_hbm,
     vr = vr_ref[0]                                # (r, nh)
 
     # sweep 1: per-slot scores, packed (r, k*nh) j-major
-    def score_tile(off, t, z0):
-        iota = _oh_iota(r, t, off)
+    def score_tile(off, v0, t, z0):
+        iota = _oh_iota(r, t, off, v0)
         sc_t = staged[slot, pl.ds(off, t), :][:, hf : hf + nh].astype(
             jnp.float32)
         return z0 + jnp.concatenate(
@@ -139,7 +152,7 @@ def _kernel(bc_ref, bn_ref, locals_ref, w_ref, vr_ref, xx_hbm,
              for j in range(k)], axis=1)
 
     z0 = _fori_tiles(u8, jnp.zeros((r, k * nh), jnp.float32),
-                     score_tile, tile=_ATTN_TILE)
+                     score_tile, tile=tile)
 
     outs, ms, ss = [], [], []
     for h in range(nh):
@@ -157,14 +170,14 @@ def _kernel(bc_ref, bn_ref, locals_ref, w_ref, vr_ref, xx_hbm,
             p = p / s[:, None]
 
         # sweep 2 (per head): W = sum_j p_j * hit_j, out = W @ val-cols
-        def value_tile(off, t, acc, p=p, h=h):
-            w_t = _onehot_w_tile(locals_, p, _oh_iota(r, t, off))
+        def value_tile(off, v0, t, acc, p=p, h=h):
+            w_t = _onehot_w_tile(locals_, p, _oh_iota(r, t, off, v0))
             tv = staged[slot, pl.ds(off, t), :][:, h * fh : (h + 1) * fh]
             return acc + _mxu_dot(w_t, tv, precision)
 
         outs.append(_fori_tiles(
             u8, jnp.zeros((r, fh), jnp.float32), value_tile,
-            tile=_ATTN_TILE))
+            tile=tile))
         ms.append(m)
         ss.append(s)
     out = jnp.concatenate(outs, axis=1) if nh > 1 else outs[0]  # (r, hf)
@@ -208,6 +221,7 @@ def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
         _kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
         f_pad=f_pad, out_pad=out_pad, normalize=normalize,
         precision=precision,
+        tile=_attn_tile(u * BLK, f_pad, jnp.dtype(xx.dtype).itemsize),
     )
     out, stats = pl.pallas_call(
         kern,
@@ -250,7 +264,7 @@ def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
 
 def _bwd1_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, xx_hbm,
                  stats_ref, staged, sems,
-                 *, u, k, hf, fh, nh, slope, f_pad):
+                 *, u, k, hf, fh, nh, slope, f_pad, tile):
     """Backward pass-1 (forward layout): per-destination-row stats
       sds = sum_k p*dp,  A = sum p*dp*lrelu',  B = sum p*lrelu'
     with p recomputed from the saved per-node (m, s)
@@ -266,9 +280,9 @@ def _bwd1_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, xx_hbm,
            for h in range(nh)]
 
     # one sweep: per-slot scores (z0) and per-slot feature dots (dps)
-    def tile(off, t, carry):
+    def sweep1(off, v0, t, carry):
         z0, dps = carry
-        iota = _oh_iota(r, t, off)
+        iota = _oh_iota(r, t, off, v0)
         rows_t = staged[slot, pl.ds(off, t), :]
         sc_t = rows_t[:, hf : hf + nh].astype(jnp.float32)
         g_ts = [_sddmm_g(dos[h], rows_t[:, h * fh : (h + 1) * fh])
@@ -286,8 +300,8 @@ def _bwd1_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, xx_hbm,
         u8,
         (jnp.zeros((r, k * nh), jnp.float32),
          jnp.zeros((r, k * nh), jnp.float32)),
-        tile,
-        tile=_ATTN_TILE,
+        sweep1,
+        tile=tile,
     )
 
     outs = []
@@ -337,6 +351,7 @@ def attn_bwd1_planned(plan: BellPlan, xx, w, vr_rows, dout_rows, m_rows,
     kern = functools.partial(
         _bwd1_kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
         f_pad=f_pad,
+        tile=_attn_tile(u * BLK, f_pad, jnp.dtype(xx.dtype).itemsize),
     )
     (stats,) = pl.pallas_call(
         kern,
@@ -372,7 +387,7 @@ def attn_bwd1_planned(plan: BellPlan, xx, w, vr_rows, dout_rows, m_rows,
 
 def _bwd2_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, sg_ref,
                  wtab_hbm, out_ref, staged, sems,
-                 *, u, k, hf, fh, nh, slope, f_pad, out_pad):
+                 *, u, k, hf, fh, nh, slope, f_pad, out_pad, tile):
     """Backward pass-2 (transpose layout): slot gradients for all heads
     (ops/attention._slot_grads math).  Staged rows are the
     destination-side [dout | vr | m | s | sds] table; aux rows pack this
@@ -391,8 +406,8 @@ def _bwd2_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, sg_ref,
     # scalars arrive PRE-GATHERED in XLA — an in-kernel st extraction
     # added ~4MB of vreg-padded (r, 4nh) temps and pushed the stack to
     # 19-35M at real chunk sizes)
-    def tile1(off, t, dps):
-        iota = _oh_iota(r, t, off)
+    def tile1(off, v0, t, dps):
+        iota = _oh_iota(r, t, off, v0)
         rows_t = staged[slot, pl.ds(off, t), :]
         g_ts = [_sddmm_g(x_cs[h], rows_t[:, h * fh : (h + 1) * fh])
                 for h in range(nh)]
@@ -404,7 +419,7 @@ def _bwd2_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, sg_ref,
         return dps + jnp.concatenate(dt, axis=1)
 
     dps = _fori_tiles(
-        u8, jnp.zeros((r, k * nh), jnp.float32), tile1, tile=_ATTN_TILE)
+        u8, jnp.zeros((r, k * nh), jnp.float32), tile1, tile=tile)
 
     dx_h, dvl_h = [], []
     for h in range(nh):
@@ -428,15 +443,15 @@ def _bwd2_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, sg_ref,
         dz = ds * jnp.where(zpre > 0, 1.0, slope)
 
         # sweep 2 (per head): dx = W @ dout-cols, W = sum_j p_j hit_j
-        def dx_tile(off, t, acc, p=p, h=h):
-            w_t = _onehot_w_tile(locals_, p, _oh_iota(r, t, off))
+        def dx_tile(off, v0, t, acc, p=p, h=h):
+            w_t = _onehot_w_tile(locals_, p, _oh_iota(r, t, off, v0))
             tv = staged[slot, pl.ds(off, t), :][:, h * fh : (h + 1) * fh]
             return acc + jnp.dot(w_t, tv.astype(jnp.float32),
                                  preferred_element_type=jnp.float32)
 
         dx_h.append(_fori_tiles(
             u8, jnp.zeros((r, fh), jnp.float32), dx_tile,
-            tile=_ATTN_TILE))
+            tile=tile))
         dvl_h.append(jnp.sum(dz, axis=1)[:, None])
     dx = jnp.concatenate(dx_h, axis=1) if nh > 1 else dx_h[0]
     dvl = jnp.concatenate(dvl_h, axis=1) if nh > 1 else dvl_h[0]
@@ -476,6 +491,7 @@ def attn_bwd2_planned(plan: BellPlan, wtab, w, x_rows, vl_rows, hf: int,
     kern = functools.partial(
         _bwd2_kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
         f_pad=f_pad, out_pad=out_pad,
+        tile=_attn_tile(u * BLK, f_pad, jnp.dtype(wtab.dtype).itemsize),
     )
     (out,) = pl.pallas_call(
         kern,

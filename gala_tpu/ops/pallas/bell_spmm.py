@@ -54,8 +54,14 @@ BLK = 8          # table rows per DMA descriptor (8-sublane aligned)
 _OH_TILE = 1024
 
 
-def _oh_iota(r, t, off):
-    return off + jax.lax.broadcasted_iota(jnp.int32, (r, t), 1)
+def _oh_iota(r, t, off, v0=0):
+    """(r, t) global staged-row positions of one sweep tile.  Positions
+    below the v0 watermark are replaced by -1 (matches no local id):
+    _fori_tiles clamps its last iteration to a full-width tile that
+    re-reads rows already swept, and the masked iota is what keeps the
+    re-read rows out of every one-hot product."""
+    g = off + jax.lax.broadcasted_iota(jnp.int32, (r, t), 1)
+    return jnp.where(g >= v0, g, -1)
 
 
 def _onehot_w_tile(locals_, vals, iota):
@@ -193,27 +199,32 @@ def block_specs(c_chunks: int, u: int):
 
 
 def _fori_tiles(u8, carry0, tile_fn, tile=_OH_TILE):
-    """Run tile_fn(off, t, carry) -> carry over u8 staged rows in
-    `tile`-row steps: full tiles via lax.fori_loop (ONE iteration's
-    transients live at a time — Mosaic stacks every unrolled
-    iteration's buffers, which is what overflowed the 16MB VMEM at
-    real chunk sizes), plus one static tail call for u8 % tile
-    (pl.ds needs a static size).  Mosaic's stack accounting SUMS the
-    fori body and the tail (no reuse across regions), so a kernel
-    running several sweeps picks a tile small enough that all its
-    bodies fit together (attention uses 512)."""
-    n_full = u8 // tile
-    carry = carry0
-    if n_full:
-        carry = jax.lax.fori_loop(
-            0, n_full,
-            lambda i, c: tile_fn(i * tile, tile, c),
-            carry,
-        )
-    tail = u8 - n_full * tile
-    if tail:
-        carry = tile_fn(n_full * tile, tail, carry)
-    return carry
+    """Run tile_fn(off, v0, t, carry) -> carry over u8 staged rows in
+    `tile`-row steps as ONE rolled lax.fori_loop of >= 2 full-width
+    iterations.  Mosaic's stack accounting SUMS every straight-line
+    region's transients — unrolled iterations, inline tails, and
+    1-trip loops that canonicalize to inline code all stack on top of
+    the kernel's other sweeps (the 17-35MB overflows at real chunk
+    sizes) — so the ONLY body shape that may exist is the rolled one:
+    no static tail call, and the tile shrinks so a single-trip loop
+    never occurs.  The last iteration re-reads a clamped full tile
+    [u8-t, u8); tile_fn masks the already-swept positions below the
+    v0 watermark via _oh_iota(r, t, off, v0) (one-hot misses), so
+    overlap re-reads contribute nothing."""
+    if u8 <= 16:
+        return tile_fn(0, 0, u8, carry0)
+    t = min(tile, ((u8 + 1) // 2 + 7) // 8 * 8, u8)
+    n = -(-u8 // t)
+
+    def body(i, c):
+        # u8 and t are both multiples of BLK, so the clamped offset is
+        # too — but Mosaic's alignment prover cannot see through
+        # minimum; pl.multiple_of restores the static 8-sublane proof
+        # the vector loads need
+        off = pl.multiple_of(jnp.minimum(i * t, u8 - t), BLK)
+        return tile_fn(off, i * t, t, c)
+
+    return jax.lax.fori_loop(0, n, body, carry0)
 
 
 def _mxu_dot(w, tab, precision):
@@ -241,8 +252,8 @@ def _kernel(bc_ref, bn_ref, locals_ref, vals_ref, x_hbm, out_ref,
     r = locals_.shape[0]
     u8 = u * BLK
 
-    def tile(off, t, acc):
-        w = _onehot_w_tile(locals_, vals, _oh_iota(r, t, off))
+    def tile(off, v0, t, acc):
+        w = _onehot_w_tile(locals_, vals, _oh_iota(r, t, off, v0))
         tv = staged[slot, pl.ds(off, t), :][:, lo : lo + fo]
         return acc + _mxu_dot(w, tv, precision)
 
