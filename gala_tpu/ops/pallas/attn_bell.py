@@ -68,21 +68,11 @@ from gala_tpu.ops.pallas.bell_spmm import (
 _NEG = -1e30
 _STATS_LANES = 128  # m|s packed into one (r, 128) stats output
 # attention kernels run 2-3 sweeps whose fori bodies and tails all SUM
-# in Mosaic's stack accounting — a smaller tile keeps the total <16MB
+# in Mosaic's stack accounting — a smaller tile keeps the total <16MB.
+# Measured: tile 256 GREW the stack (16.95M vs 16.32M at u8=4096) —
+# body transients are k-unroll-dominated, not tile-dominated; the plan
+# budget caps staging instead, so the tile is a constant.
 _ATTN_TILE = 512
-
-
-def _attn_tile(u8, f_pad, itemsize):
-    """Sweep-tile width for the attention kernels: the double-buffered
-    staging scratch (2*u8*f_pad) and the rolled sweep bodies
-    (~r*tile transients per sweep) share the 16MB VMEM stack, so big
-    staged tables shrink the tile (measured: r=256 u8=4096 f_pad=256
-    f32 = 8.4MB staged overflows by 0.3MB at tile=512)."""
-    staged = 2 * u8 * f_pad * itemsize
-    del staged  # measured: tile 256 GREW the stack (16.95M vs 16.32M at
-    # u8=4096) — body transients are k-unroll-dominated, not
-    # tile-dominated; the plan budget caps staging instead
-    return _ATTN_TILE
 
 
 def _lrelu(z, slope):
@@ -104,17 +94,6 @@ def _sddmm_g(rows_f32, tab_cols):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-
-
-def plan_slot_rows(plan: BellPlan):
-    """(C, r, k) absolute table-row id of every slot, reconstructed on
-    device from the plan (blocks[c, locals // 8] * 8 + locals % 8)."""
-    c_chunks, u = plan.blocks.shape
-    loc = plan.locals_
-    blk = jnp.take_along_axis(
-        plan.blocks, (loc // BLK).reshape(c_chunks, -1), axis=1
-    )
-    return (blk * BLK + (loc % BLK).reshape(c_chunks, -1)).reshape(loc.shape)
 
 
 def _zcol(packed, j, width, idx):
@@ -221,7 +200,7 @@ def attn_fwd_planned(plan: BellPlan, xx, w, vr_rows, hf: int, nh: int,
         _kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
         f_pad=f_pad, out_pad=out_pad, normalize=normalize,
         precision=precision,
-        tile=_attn_tile(u * BLK, f_pad, jnp.dtype(xx.dtype).itemsize),
+        tile=_ATTN_TILE,
     )
     out, stats = pl.pallas_call(
         kern,
@@ -351,7 +330,7 @@ def attn_bwd1_planned(plan: BellPlan, xx, w, vr_rows, dout_rows, m_rows,
     kern = functools.partial(
         _bwd1_kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
         f_pad=f_pad,
-        tile=_attn_tile(u * BLK, f_pad, jnp.dtype(xx.dtype).itemsize),
+        tile=_ATTN_TILE,
     )
     (stats,) = pl.pallas_call(
         kern,
@@ -385,7 +364,7 @@ def attn_bwd1_planned(plan: BellPlan, xx, w, vr_rows, dout_rows, m_rows,
     return st[..., 0], st[..., 1], st[..., 2]
 
 
-def _bwd2_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, sg_ref,
+def _bwd2_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref,
                  wtab_hbm, out_ref, staged, sems,
                  *, u, k, hf, fh, nh, slope, f_pad, out_pad, tile):
     """Backward pass-2 (transpose layout): slot gradients for all heads
@@ -398,28 +377,39 @@ def _bwd2_kernel(bc_ref, bn_ref, locals_ref, w_ref, aux_ref, sg_ref,
     locals_ = locals_ref[0]                       # (r, k)
     w = w_ref[0]                                  # (r, k)
     aux = aux_ref[0]                              # (r, a_pad) [x | vl]
-    sg = sg_ref[0]                                # (r, k*4nh) slot scalars
     x_cs = [aux[:, h * fh : (h + 1) * fh].astype(jnp.float32)
             for h in range(nh)]
 
-    # sweep 1: per-head per-slot feature dots dp (the [vr|m|s|sds]
-    # scalars arrive PRE-GATHERED in XLA — an in-kernel st extraction
-    # added ~4MB of vreg-padded (r, 4nh) temps and pushed the stack to
-    # 19-35M at real chunk sizes)
-    def tile1(off, v0, t, dps):
+    # sweep 1: per-head per-slot feature dots dp AND the per-slot
+    # [vr|m|s|sds] scalars, both via hit_j one-hot products against the
+    # staged table.  The scalars ride the same thin hit @ (t, 4nh) MXU
+    # dot shape bwd1's score extraction uses (the rolled _fori_tiles
+    # keeps one tile's (r, 4nh) transients live); an earlier XLA
+    # row-granular pre-gather of these 4nh lanes cost ~1s at 16M slots
+    # — the exact HBM gather the kernel exists to avoid
+    # (results_r3/pallas_bell_onehot.txt MONOLITH-FORI bwd2).
+    def tile1(off, v0, t, carry):
+        dps, sg0 = carry
         iota = _oh_iota(r, t, off, v0)
         rows_t = staged[slot, pl.ds(off, t), :]
+        st_t = rows_t[:, hf : hf + 4 * nh].astype(jnp.float32)
         g_ts = [_sddmm_g(x_cs[h], rows_t[:, h * fh : (h + 1) * fh])
                 for h in range(nh)]
-        dt = []
+        dt, st = [], []
         for j in range(k):
             hit = _hit(locals_, j, iota)
+            st.append(jnp.dot(hit, st_t,
+                              preferred_element_type=jnp.float32))
             for h in range(nh):
                 dt.append(jnp.sum(hit * g_ts[h], axis=1, keepdims=True))
-        return dps + jnp.concatenate(dt, axis=1)
+        return (dps + jnp.concatenate(dt, axis=1),
+                sg0 + jnp.concatenate(st, axis=1))
 
-    dps = _fori_tiles(
-        u8, jnp.zeros((r, k * nh), jnp.float32), tile1, tile=tile)
+    dps, sg = _fori_tiles(
+        u8,
+        (jnp.zeros((r, k * nh), jnp.float32),
+         jnp.zeros((r, k * 4 * nh), jnp.float32)),
+        tile1, tile=tile)
 
     dx_h, dvl_h = [], []
     for h in range(nh):
@@ -482,16 +472,12 @@ def attn_bwd2_planned(plan: BellPlan, wtab, w, x_rows, vl_rows, hf: int,
     aux = aux.at[:nb, :hf].set(x_rows.astype(jnp.float32))
     aux = aux.at[:nb, hf : hf + nh].set(vl_rows.astype(jnp.float32))
     w_pad = jnp.zeros((c_chunks * r, k), w.dtype).at[:nb].set(w)
-    # per-slot [vr|m|s|sds] pre-gather (XLA): j-major lanes, 4nh inner
-    rows = plan_slot_rows(plan).reshape(-1)
-    sg = wtab[rows, hf : hf + 4 * nh].astype(jnp.float32)
-    sg = sg.reshape(c_chunks, r, k * 4 * nh)
     blocks3 = plan.blocks.reshape(c_chunks, 1, u)
 
     kern = functools.partial(
         _bwd2_kernel, u=u, k=k, hf=hf, fh=fh, nh=nh, slope=float(slope),
         f_pad=f_pad, out_pad=out_pad,
-        tile=_attn_tile(u * BLK, f_pad, jnp.dtype(wtab.dtype).itemsize),
+        tile=_ATTN_TILE,
     )
     (out,) = pl.pallas_call(
         kern,
@@ -500,7 +486,6 @@ def attn_bwd2_planned(plan: BellPlan, wtab, w, x_rows, vl_rows, hf: int,
             pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
             pl.BlockSpec((1, r, k), lambda c: (c, 0, 0)),
             pl.BlockSpec((1, r, a_pad), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, r, k * 4 * nh), lambda c: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -519,7 +504,6 @@ def attn_bwd2_planned(plan: BellPlan, wtab, w, x_rows, vl_rows, hf: int,
         plan.locals_.reshape(c_chunks, r, k),
         w_pad.reshape(c_chunks, r, k),
         aux.reshape(c_chunks, r, a_pad),
-        sg,
         wtab,
     )
     return out[:nb, : hf + nh]

@@ -115,6 +115,12 @@ def plan_chunks(cols: np.ndarray, k: int, rows_per_chunk: int,
     indices, n_rows, C, U): chunk c DMAs blocks[c] (8 rows each, padded
     by repeating block 0 — harmless duplicate traffic) and resolves
     slot (v, j) at staged row locals[c, v, j].
+
+    Invariant: every emitted local id is NON-NEGATIVE (cols >= 0 and
+    pad slots resolve block 0) — _oh_iota's -1 masked-position sentinel
+    relies on it (a negative local would silently match masked iota
+    positions).  Both the NumPy path below and plan_blocks_fill_i32
+    preserve it; make_plan asserts it once per plan.
     """
     cols3, nb, c_chunks = _chunk_pad(cols, k, rows_per_chunk)
     r = rows_per_chunk
@@ -211,6 +217,10 @@ def _fori_tiles(u8, carry0, tile_fn, tile=_OH_TILE):
     [u8-t, u8); tile_fn masks the already-swept positions below the
     v0 watermark via _oh_iota(r, t, off, v0) (one-hot misses), so
     overlap re-reads contribute nothing."""
+    # the clamped-offset alignment proof below (pl.multiple_of) and the
+    # 8-rounded tile are only valid when u8 is block-aligned; every
+    # planner emits u8 = u*BLK, so fail loudly on anything else
+    assert u8 % BLK == 0, u8
     if u8 <= 16:
         return tile_fn(0, 0, u8, carry0)
     t = min(tile, ((u8 + 1) // 2 + 7) // 8 * 8, u8)
@@ -319,6 +329,7 @@ def make_plan(cols: np.ndarray, k: int, rows_per_chunk: int = 256,
             r = max((r // max(2, int(over))) // 8 * 8, 8)  # 8-sublane grain
             u = None
     blocks, locals_, nb, c_chunks, u = plan_chunks(cols, k, r, u_hint=u)
+    assert int(np.min(locals_)) >= 0  # _oh_iota -1 sentinel contract
     return BellPlan(
         blocks=jnp.asarray(blocks),
         locals_=jnp.asarray(locals_),
