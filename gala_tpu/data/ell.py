@@ -259,6 +259,57 @@ def build_stage_tables(
     )
 
 
+@dataclasses.dataclass
+class HostDynMeta:
+    """Per-segment metadata for dynamic in-kernel neighbor sampling
+    executed as SLOT REWEIGHTING on the static bell layout.
+
+    The reference's dynamic mode re-rolls (ra, rb) per epoch and its
+    kernels read neighbor (ra*i + rb) %% deg for i < n_samples
+    (reference: src/codegen/cuda.h:313-320, common.h:822-833).  Summing
+    those k picks WITH repetition is identical to weighting CSR
+    position p of a degree-d row by
+
+        w(d, p) = #{ i < n_samples : (ra*i + rb) mod d == p }
+
+    so the sampled aggregation is the ordinary bell aggregation with
+    per-epoch computed slot weights — zero per-epoch index gathers, and
+    the staged/Pallas gather machinery applies unchanged
+    (ops.spmm._spmm_dyn_bell).  Slot j of a segment row has in-row
+    position pos0 + j (pos0 nonzero only for hub virtual rows).  The
+    backward side carries its own meta over the TRANSPOSE rows: the
+    reference re-samples the transpose with the same (ra, rb) in its
+    2*layer+1 kernels rather than transposing the sampled matrix."""
+
+    d: list                 # per segment: (nb, 1) int32 row degree
+    p: list                 # per segment: (nb, 1) int32 slot-0 offset
+
+
+def build_dyn_row_meta(hb: "HostBinnedEll", deg_full: np.ndarray) -> HostDynMeta:
+    """Forward-side sampling meta.  deg_full: per-node degree of the
+    graph hb was built from (hb MUST be built with split_diag=False so
+    slot positions equal CSR positions — the reference samples over the
+    full row, self loops included)."""
+    assert hb.diag is None, "dynamic bells must be built with split_diag=False"
+    deg_bin = deg_full[hb.order].astype(np.int64)
+    ds, ps = [], []
+    off = 0
+    for k, nb in zip(hb.bin_ks, hb.bin_counts):
+        ds.append(deg_bin[off : off + nb].reshape(nb, 1).astype(np.int32))
+        ps.append(np.zeros((nb, 1), np.int32))
+        off += nb
+    if hb.n_big:
+        hub_deg = deg_bin[off : off + hb.n_big]
+        nv = np.maximum((hub_deg + K_BIG - 1) // K_BIG, 1)
+        vb = int(nv.sum())
+        ds.append(np.repeat(hub_deg, nv).reshape(vb, 1).astype(np.int32))
+        starts = np.zeros(hb.n_big, np.int64)
+        np.cumsum(nv[:-1], out=starts[1:])
+        voff = (np.arange(vb, dtype=np.int64) - np.repeat(starts, nv)) * K_BIG
+        ps.append(voff.reshape(vb, 1).astype(np.int32))
+    return HostDynMeta(d=ds, p=ps)
+
+
 def _bell_classes(deg: np.ndarray) -> np.ndarray:
     """Degree-class id per node; len(BIN_SIZES) = the hub class."""
     cls = np.searchsorted(BIN_SIZES, np.maximum(deg, 1)).astype(np.int32)

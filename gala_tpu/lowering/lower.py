@@ -8,6 +8,7 @@ generate_ir, 4 passes, CUDAGenerator::writeCode): same stages, but the
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
@@ -209,18 +210,47 @@ def lower(
         from gala_tpu.data.reordering import apply_reorder
 
         # fused attention keeps self loops as slots, so its class order
-        # is computed without the diagonal split
-        order = bell_order(g_host, split_diag=not attention)
+        # is computed without the diagonal split; dynamic-sampling bells
+        # keep them too (slot position must equal CSR position)
+        order = bell_order(
+            g_host,
+            split_diag=not attention and not spec.compute.sample_dynamic,
+        )
         g_host, feats, labels, masks, _ = apply_reorder(
             g_host, order, feats, labels, masks
         )
 
-    # in-kernel dynamic sampling reads the raw CSR arrays on device
-    keep_edges = True if spec.compute.sample_dynamic else "auto"
-    # DIR ordered column tiling: the schedule's col_tile directive (and
-    # the input-aware autoschedule's default) reaches the executor as
-    # the chunk granularity of the scan/bell/attention paths
-    # (reference: src/ops/tiling.h:222-284 + src/codegen/cuda.h:470-497)
+    # dynamic sampling on the bell strategies runs as per-epoch slot
+    # reweighting (ops.spmm._spmm_dyn_bell) and never touches the raw
+    # edge lists; only the non-bell fallback (_spmm_dyn) reads the CSR
+    # arrays on device — so the padded-edge upload (and its O(E log E)
+    # transpose lexsort, minutes at Products-0.25 scale) is skipped
+    # whenever the reweighted path will serve
+    keep_edges = (
+        True
+        if spec.compute.sample_dynamic
+        and strategy not in ("bell", "pallas_bell", "auto")
+        else "auto"
+    )
+    # DIR ordered column tiling: the schedule's col_tile directive
+    # reaches the executor as the chunk granularity of the
+    # scan/bell/attention paths (reference: src/ops/tiling.h:222-284 +
+    # src/codegen/cuda.h:470-497).  TPU memory gate — same decision the
+    # input-aware autoschedule makes (lowering/autoschedule.py): when
+    # the widest layer's flat slot intermediate fits the executor's
+    # budget, hand-written chunking is a measured LOSS (stat_table5
+    # dir 1.36s vs none 0.78s on Reddit-0.25), so the directive is
+    # dropped and the executor's own budget-driven chunking governs.
+    # GALA_FORCE_COL_TILE=1 honors it regardless (the DIR ablation).
+    if spec.col_tile and os.environ.get("GALA_FORCE_COL_TILE", "") != "1":
+        from gala_tpu.ops.spmm import _BELL_FLAT_ELEMS, _phys_cols
+
+        widths = [int(feats.shape[1])] + [
+            int(s) for s in spec.output_sizes if int(s) > 0
+        ]
+        slots = max(g_host.n_edges, 1)
+        if slots * _phys_cols(max(widths)) <= _BELL_FLAT_ELEMS:
+            spec.col_tile = 0
     if use_long:
         spec.use_long = True
     # pallas_bell: budget the kernels' VMEM chunking for the widest
@@ -235,6 +265,7 @@ def lower(
         edge_vals=edge_vals, attention=attention, keep_edges=keep_edges,
         col_tile=spec.col_tile or None, long_indices=spec.use_long,
         pallas_feat=pallas_feat,
+        dynamic_sample=bool(spec.compute.sample_dynamic),
     )
     n_layers = spec.num_layers
     full_graphs = [full_g] * n_layers
@@ -250,6 +281,7 @@ def lower(
                 attention=attention, keep_edges=keep_edges,
                 col_tile=spec.col_tile or None,
                 pallas_feat=pallas_feat,
+                dynamic_sample=bool(spec.compute.sample_dynamic),
             )
             for s in subs
         ]

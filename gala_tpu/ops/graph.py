@@ -127,6 +127,31 @@ class BellDev:
             chunk_slots=chunk_slots,
         )
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DynMeta:
+    """Device arrays of a HostDynMeta (data.ell): per-segment sampling
+    weight inputs for the reweighted-bell dynamic path
+    (ops.spmm._spmm_dyn_bell)."""
+
+    d: tuple            # per segment (nb, 1) int32 row degrees
+    p: tuple            # per segment (nb, 1) int32 slot-0 in-row offsets
+
+    def tree_flatten(self):
+        return (self.d, self.p), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_host(cls, hm) -> "DynMeta":
+        return cls(
+            d=tuple(jnp.asarray(a) for a in hm.d),
+            p=tuple(jnp.asarray(a) for a in hm.p),
+        )
+
+
 # Above this many scalar elements the one-shot (E,F) gather intermediate is
 # scanned in chunks instead (keeps peak memory ~CHUNK*F).
 _SEGMENT_ONESHOT_LIMIT = 1 << 27  # 128M elements ~ 512MB f32
@@ -172,6 +197,10 @@ class Graph:
     t_bell: "BellDev | None"
     # fused slot-space attention layout (gala_tpu.ops.attention)
     attn: object | None
+    # dynamic-sampling reweighting meta (built when the schedule says
+    # aggrFn.sample(k).dynamic(); see DynMeta / ops.spmm._spmm_dyn_bell)
+    dyn_f: "DynMeta | None"
+    dyn_t: "DynMeta | None"
 
     # --- static aux ---
     n_nodes: int            # real node count
@@ -197,7 +226,7 @@ class Graph:
             self.row_ptr, self.t_row_ptr,
             self.ell_cols, self.ell_vals, self.ell_vrow, self.ell_perm,
             self.t_ell_cols, self.t_ell_vals, self.t_ell_vrow, self.t_ell_perm,
-            self.bell, self.t_bell, self.attn,
+            self.bell, self.t_bell, self.attn, self.dyn_f, self.dyn_t,
         )
         aux = (
             self.n_nodes, self.n_cols, self.n_pad, self.c_pad,
@@ -223,6 +252,7 @@ class Graph:
         col_tile: float | None = None,
         long_indices: bool = False,
         pallas_feat: int = 128,
+        dynamic_sample: bool = False,
     ) -> "Graph":
         """keep_edges: upload the raw (padded) edge lists and transpose
         permutation.  The bell layout never reads them, and at scale the
@@ -326,7 +356,7 @@ class Graph:
                                       use_pallas=use_pallas,
                                       pallas_feat=pallas_feat)
 
-        bell = t_bell = None
+        bell = t_bell = dyn_f = dyn_t = None
         if strategy == "bell":
             from gala_tpu.data.ell import build_binned_ell, build_stage_tables
 
@@ -358,7 +388,12 @@ class Graph:
                     chunk_slots=chunk_slots,
                 )
 
-            hb = build_binned_ell(g, phantom_col=c)
+            # dynamic sampling bells keep self loops as slots
+            # (split_diag=False): the reference samples positions over
+            # the FULL row, so slot position must equal CSR position
+            # (data.ell.HostDynMeta)
+            hb = build_binned_ell(g, phantom_col=c,
+                                  split_diag=not dynamic_sample)
             bell = BellDev.from_host(hb, n_pad, n, stage_tables=_stage(hb, c),
                                      chunk_slots=chunk_slots,
                                      pallas_plans=_plans(hb))
@@ -366,13 +401,32 @@ class Graph:
             # caller passing undirected=True on a structurally symmetric
             # graph with asymmetric weights must still get the true
             # transpose (otherwise gradients flow through wrong weights)
+            if dynamic_sample:
+                from gala_tpu.data.ell import build_dyn_row_meta
+
+                deg_full = np.bincount(g.dst, minlength=n).astype(np.int64)
+                dyn_f = DynMeta.from_host(build_dyn_row_meta(hb, deg_full))
             if undirected and symmetric:
                 t_bell = bell
+                dyn_t = dyn_f
             else:
-                hbt = build_binned_ell(host_transpose(g), phantom_col=n)
+                hbt = build_binned_ell(host_transpose(g), phantom_col=n,
+                                       split_diag=not dynamic_sample)
                 t_bell = BellDev.from_host(hbt, c_pad, c, stage_tables=_stage(hbt, n),
                                            chunk_slots=chunk_slots,
                                            pallas_plans=_plans(hbt))
+                if dynamic_sample:
+                    # backward RE-SAMPLES the transpose rows with the same
+                    # (ra, rb) — the reference applies the identical
+                    # sampling formula in its 2*layer+1 kernels (an
+                    # accepted stochastic-gradient approximation), so the
+                    # transpose side carries row-form meta of its own
+                    t_deg_full = np.bincount(g.src, minlength=c).astype(
+                        np.int64
+                    )
+                    dyn_t = DynMeta.from_host(
+                        build_dyn_row_meta(hbt, t_deg_full)
+                    )
 
         ell = t_ell = None
         if strategy == "ell":
@@ -428,6 +482,8 @@ class Graph:
             bell=bell,
             t_bell=t_bell,
             attn=attn,
+            dyn_f=dyn_f,
+            dyn_t=dyn_t,
             n_nodes=n,
             n_cols=c,
             n_pad=n_pad,

@@ -791,6 +791,87 @@ def _spmm_dyn_bwd(k, res, dz):
 _spmm_dyn.defvjp(_spmm_dyn_fwd, _spmm_dyn_bwd)
 
 
+# --------------------------------------------------------------------------- #
+# dynamic sampling as slot reweighting on the bell layout
+# --------------------------------------------------------------------------- #
+# Summing the reference's k picks (ra*i + rb) %% deg WITH repetition
+# (reference: src/codegen/cuda.h:313-320) equals weighting CSR position p
+# of a degree-d row by w(d, p) = #{i < k : (ra*i + rb) mod d == p}.  The
+# sampled aggregation is therefore the ORDINARY bell aggregation with
+# per-epoch computed slot weights: zero per-epoch index gathers (the
+# (ra*i+rb)-driven src[idx] gather of _dyn_raw reads 512B HBM lines for
+# 4 useful bytes — measured 16-19x over the full-graph bell path on
+# table7), and the staged/Pallas gather machinery applies unchanged.
+def _dyn_counts(d, p, n_samples, ra, rb):
+    """w = #{i < n_samples : (ra*i + rb) mod d == p} as f32, 0 where
+    d <= 0 (pad slots / isolated rows)."""
+    d1 = jnp.maximum(d, 1)
+
+    def body(i, w):
+        return w + ((ra * i + rb) % d1 == p).astype(jnp.float32)
+
+    w0 = jnp.zeros(jnp.broadcast_shapes(d.shape, p.shape), jnp.float32)
+    w = jax.lax.fori_loop(0, n_samples, body, w0)
+    return jnp.where(d > 0, w, 0.0)
+
+
+def _dyn_reweight(bell, meta, n_samples, ra, rb):
+    """A BellDev whose slot values are this epoch's sampling weights
+    (masked by the original occupancy, so pad slots stay 0 and weighted
+    graphs keep their edge values as a factor — vals are 1.0 on the
+    unweighted graphs sampling targets)."""
+    import dataclasses as _dc
+
+    vals_list = list(bell.bin_vals)
+    if bell.n_big:
+        vals_list.append(bell.big_vals)
+    assert len(vals_list) == len(meta.d), (len(vals_list), len(meta.d))
+    new = []
+    for v, d, p in zip(vals_list, meta.d, meta.p):
+        p = p + jax.lax.broadcasted_iota(jnp.int32, (1, v.shape[1]), 1)
+        new.append(_dyn_counts(d, p, n_samples, ra, rb) * v)
+    big = new.pop() if bell.n_big else None
+    return _dc.replace(bell, bin_vals=tuple(new), big_vals=big)
+
+
+def _dyn_meta_zeros_ct(m):
+    import dataclasses as _dc
+
+    return _dc.replace(
+        m,
+        d=tuple(_float0_like(a) for a in m.d),
+        p=tuple(_float0_like(a) for a in m.p),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _spmm_dyn_bell(n_samples, n_out, c_out, bell, t_bell, mf, mt, ra, rb, x):
+    return _bell_raw(_dyn_reweight(bell, mf, n_samples, ra, rb), x, n_out)
+
+
+def _spmm_dyn_bell_fwd(n_samples, n_out, c_out, bell, t_bell, mf, mt, ra,
+                       rb, x):
+    out = _bell_raw(_dyn_reweight(bell, mf, n_samples, ra, rb), x, n_out)
+    return out, (bell, t_bell, mf, mt, ra, rb)
+
+
+def _spmm_dyn_bell_bwd(n_samples, n_out, c_out, res, dz):
+    bell, t_bell, mf, mt, ra, rb = res
+    # sampled transpose with the same (ra, rb): each transpose slot's
+    # weight is its FORWARD row's w(deg, pos) — the reference applies the
+    # identical formula in its 2*layer+1 kernels
+    dx = _bell_raw(_dyn_reweight(t_bell, mt, n_samples, ra, rb), dz, c_out)
+    z = _float0_like
+    return (
+        _bell_zeros_ct(bell), _bell_zeros_ct(t_bell),
+        _dyn_meta_zeros_ct(mf), _dyn_meta_zeros_ct(mt),
+        z(ra), z(rb), dx,
+    )
+
+
+_spmm_dyn_bell.defvjp(_spmm_dyn_bell_fwd, _spmm_dyn_bell_bwd)
+
+
 def spmm_sampled(g: Graph, x: jax.Array, k: int, ra, rb) -> jax.Array:
     """Aggregation over k dynamically sampled neighbors per node.
 
@@ -803,12 +884,19 @@ def spmm_sampled(g: Graph, x: jax.Array, k: int, ra, rb) -> jax.Array:
             "dynamic neighbor sampling is single-chip only; compile "
             "without aggrFn.sample(...).dynamic() for SPMD execution"
         )
+    ra = jnp.asarray(ra, jnp.int32)
+    rb = jnp.asarray(rb, jnp.int32)
+    if g.bell is not None and g.dyn_f is not None:
+        return _spmm_dyn_bell(
+            int(k), g.n_pad, g.c_pad,
+            g.bell, g.t_bell, g.dyn_f, g.dyn_t, ra, rb, x,
+        )
     t_deg = jnp.diff(g.t_row_ptr).astype(jnp.float32)[:, None]
     return _spmm_dyn(
         int(k),
         g.row_ptr, g.src, g.deg,
         g.t_row_ptr, g.t_src, t_deg,
-        jnp.asarray(ra, jnp.int32), jnp.asarray(rb, jnp.int32), x,
+        ra, rb, x,
     )
 
 

@@ -128,16 +128,27 @@ def make_sharded_train_step(mesh, sg: ShardedGraph, d_in, d_hidden, d_out,
     def sharded_fwd(params, g, x):
         return local_forward(params, g, x)
 
+    # the graph rides as a jit ARGUMENT, not a closure: a traced
+    # closure over a device array is illegal in multi-process runs
+    # (the global array spans non-addressable devices — caught by
+    # tests/test_multihost.py) and embeds Reddit-scale constants in the
+    # lowered module in single-process ones (PERF_NOTES closure hazard)
     @jax.jit
-    def step_fn(params, opt_state, x, y, mask):
-        loss, grads = jax.value_and_grad(local_loss)(params, sg, x, y, mask)
+    def _step(params, opt_state, g, x, y, mask):
+        loss, grads = jax.value_and_grad(local_loss)(params, g, x, y, mask)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     @jax.jit
+    def _fwd(params, g, x):
+        return sharded_fwd(params, g, x)
+
+    def step_fn(params, opt_state, x, y, mask):
+        return _step(params, opt_state, sg, x, y, mask)
+
     def fwd_fn(params, x):
-        return sharded_fwd(params, sg, x)
+        return _fwd(params, sg, x)
 
     with mesh:
         params = init_gcn_params(jax.random.key(0), d_in, d_hidden, d_out)

@@ -149,6 +149,53 @@ def test_dynamic_sampled_spmm_chunked_matches(small_dataset, monkeypatch):
     np.testing.assert_allclose(got_g, ref_g, rtol=1e-4, atol=1e-4)
 
 
+def test_dynamic_sampled_bell_matches_gather_form(small_dataset):
+    """The reweighted-bell dynamic path (zero per-epoch index gathers;
+    ops.spmm._spmm_dyn_bell) must equal the direct gather form
+    (_spmm_dyn, the reference formula executed literally) — the k picks
+    with repetition ARE the position-count weights, so the match is
+    exact up to float association.  Forward and backward, several
+    (ra, rb) streams, hub + degenerate rows included."""
+    import jax
+    import jax.numpy as jnp
+
+    from gala_tpu.data.csr import coo_to_csr
+    from gala_tpu.ops.graph import Graph
+    from gala_tpu.ops.spmm import spmm_sampled
+
+    rng = np.random.default_rng(11)
+    n, f = 400, 24
+    # mixed structure: uniform edges + a 200-in-degree hub-ish node +
+    # self loops + an isolated node (399)
+    e = 3000
+    src = rng.integers(0, n - 1, e)
+    dst = rng.integers(0, n - 1, e)
+    hub_src = rng.integers(0, n - 1, 200)
+    src = np.concatenate([src, hub_src, np.arange(n - 1)])
+    dst = np.concatenate([dst, np.full(200, 7), np.arange(n - 1)])
+    g_host = coo_to_csr(src, dst, None, n_rows=n)
+
+    g_ref = Graph.from_host(g_host, strategy="segment", keep_edges=True)
+    g_bell = Graph.from_host(g_host, strategy="bell", keep_edges=True,
+                             dynamic_sample=True)
+    assert g_bell.dyn_f is not None and g_bell.dyn_t is not None
+    x = g_ref.pad_nodes(rng.normal(size=(n, f)).astype(np.float32))
+
+    for k, ra, rb in ((4, 5, 7), (9, 13, 2), (300, 17, 5)):
+        ref = np.asarray(spmm_sampled(g_ref, x, k=k, ra=ra, rb=rb))
+        got = np.asarray(spmm_sampled(g_bell, x, k=k, ra=ra, rb=rb))
+        np.testing.assert_allclose(
+            got[:n], ref[:n], rtol=1e-4, atol=1e-4
+        )
+        ref_g = np.asarray(jax.grad(
+            lambda v: jnp.sum(spmm_sampled(g_ref, v, k, ra, rb) ** 2))(x))
+        got_g = np.asarray(jax.grad(
+            lambda v: jnp.sum(spmm_sampled(g_bell, v, k, ra, rb) ** 2))(x))
+        np.testing.assert_allclose(
+            got_g[:n], ref_g[:n], rtol=1e-3, atol=1e-3
+        )
+
+
 @pytest.mark.slow
 def test_multihead_gat(small_dataset):
     import functools

@@ -77,10 +77,18 @@ def test_degrees_match(graph_and_dense):
     )
 
 
-def test_strategy_heuristic():
+def test_strategy_heuristic(monkeypatch):
     assert choose_strategy(1000, 1000, 5000) == "dense"
+    # above the ~96MB gather cliff the fused Pallas bell is the default
+    # (r3: _pallas_auto ON; the per-segment reuse gate still decides per
+    # plan at build time)
+    assert choose_strategy(10**6, 10**6, 10**5) == "pallas_bell"
+    assert choose_strategy(10**6, 10**6, 10**9) == "pallas_bell"
+    monkeypatch.setenv("GALA_PALLAS_AUTO", "0")
     assert choose_strategy(10**6, 10**6, 10**5) == "bell"
-    assert choose_strategy(10**6, 10**6, 10**9) == "bell"
+    monkeypatch.delenv("GALA_PALLAS_AUTO")
+    # below the cliff the XLA bell path wins (gather not yet degraded)
+    assert choose_strategy(10**5, 10**5, 10**6) == "bell"
     assert choose_strategy(10**6, 10**6, 10**5, edge_vals=True) == "ell"
 
 
