@@ -171,3 +171,34 @@ def uses_edge_values(prog: Program) -> bool:
         or (n.op is ComputeOp.AGGREGATE_MUL_SUM and len(n.inputs) >= 3)
         for n in prog.all_nodes()
     )
+
+
+def aggregated_widths(prog: Program, feat_size: int, n_classes: int) -> list[int]:
+    """Column widths of every tensor a slot-gathering aggregation sweep
+    actually reads, POST-pass (the reorder pass routinely moves a
+    shrinking FFN before the aggregation, so e.g. a 260-feature GCN
+    aggregates 32/41-wide tensors).  These widths — not the widest layer
+    anywhere in the model — are what size the gather table, and with it
+    the input-aware strategy gate and the Pallas kernels' VMEM budget
+    (lowering/lower.py).  Symbolic dims resolve against the bound
+    dataset; non-positive leftovers fall back to max(feat, classes)."""
+    from gala_tpu.ir.data_ir import SYM_CLASSES, SYM_FEATS
+
+    def resolve(c: int) -> int:
+        if c == SYM_FEATS:
+            return feat_size
+        if c == SYM_CLASSES:
+            return n_classes
+        return c if c > 0 else max(feat_size, n_classes)
+
+    widths = []
+    for n in prog.all_nodes():
+        if n.op in (
+            ComputeOp.AGGREGATE_MUL_SUM,
+            ComputeOp.AGGREGATE_MUL_SUM_DIRECT,
+            ComputeOp.FUSED_ATTENTION,
+        ):
+            feats_in = [d for d in n.inputs if not d.is_graph]
+            if feats_in:
+                widths.append(resolve(feats_in[0].cols))
+    return widths or [max(feat_size, n_classes)]

@@ -194,12 +194,25 @@ def lower(
                 f"attention_heads={nh} must divide every hidden GAT layer "
                 f"width; offending sizes: {bad}"
             )
+    # widest tensor an aggregation sweep actually gathers, POST-pass
+    # (reorder moves shrinking FFNs first, so this is usually the hidden
+    # width, NOT the input feature width); fused attention stages 4
+    # extra score columns per head alongside it
+    from gala_tpu.ir.compute_ir import aggregated_widths
+
+    agg_w = max(
+        aggregated_widths(prog, int(feats.shape[1]), n_classes)
+    ) + (4 * nh if attention else 0)
     if strategy == "auto":
         from gala_tpu.ops.graph import choose_strategy
 
+        # the gather-cliff gate inside choose_strategy compares the
+        # PHYSICAL table the executor will actually gather from
+        # (defaulting feat_dim=128 here made wide-feature models look
+        # wrong-sized, so the strategy gate mis-fired — r4 fix)
         strategy = choose_strategy(
             g_host.n_rows + NODE_PAD, g_host.n_cols + NODE_PAD,
-            g_host.n_edges, edge_vals=edge_vals,
+            g_host.n_edges, edge_vals=edge_vals, feat_dim=agg_w,
         )
     if strategy in ("bell", "pallas_bell"):
         # relabel nodes in degree-class order so the binned layout's
@@ -245,21 +258,18 @@ def lower(
     if spec.col_tile and os.environ.get("GALA_FORCE_COL_TILE", "") != "1":
         from gala_tpu.ops.spmm import _BELL_FLAT_ELEMS, _phys_cols
 
-        widths = [int(feats.shape[1])] + [
-            int(s) for s in spec.output_sizes if int(s) > 0
-        ]
         slots = max(g_host.n_edges, 1)
-        if slots * _phys_cols(max(widths)) <= _BELL_FLAT_ELEMS:
+        if slots * _phys_cols(agg_w) <= _BELL_FLAT_ELEMS:
             spec.col_tile = 0
     if use_long:
         spec.use_long = True
     # pallas_bell: budget the kernels' VMEM chunking for the widest
-    # feature matrix any layer aggregates (backward attention gathers
-    # [dout | vr | m | s | sds] rows: + 4 score columns per head)
+    # tensor any aggregation sweep gathers (backward attention gathers
+    # [dout | vr | m | s | sds] rows: the agg_w above already carries
+    # the 4 score columns per head)
     pallas_feat = 128
     if strategy == "pallas_bell":
-        widths = [int(feats.shape[1])] + [int(s) for s in spec.output_sizes]
-        pallas_feat = max(widths) + (4 * nh if attention else 0)
+        pallas_feat = agg_w
     full_g = Graph.from_host(
         g_host, strategy=strategy, undirected=spec.graph.undirected,
         edge_vals=edge_vals, attention=attention, keep_edges=keep_edges,

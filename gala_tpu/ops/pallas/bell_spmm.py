@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -368,6 +369,29 @@ def _reuse_ok(plan: BellPlan) -> bool:
     return reuse >= reuse_min and plan.r >= _MIN_R
 
 
+def _est_reuse(cols: np.ndarray, k: int, r: int, n_probe: int = 32) -> float:
+    """Sampled UPPER BOUND on the staged-row reuse a plan over `cols`
+    can reach: mean distinct-block count over up to n_probe chunks at
+    the largest candidate r.  Budget refinement only ever SHRINKS r,
+    and reuse = r*k / (u(r)*BLK) grows with r (u is concave in r), so
+    a below-threshold estimate here proves every feasible plan is
+    below threshold too — the full planner (one parallel sort pass
+    over all slots per refinement round, seconds at 10^7-slot scale)
+    can be skipped.  Measured real-layout reality this protects: the
+    synthetic community graphs plan at reuse 0.13-0.19 everywhere
+    (round-4 locality study), so production builds hit this gate and
+    pay ~0 planning cost."""
+    cols = cols.reshape(-1, k)
+    nb = cols.shape[0]
+    n_chunks = max(nb // max(r, 1), 1)
+    probe = np.linspace(0, n_chunks - 1, min(n_probe, n_chunks)).astype(np.int64)
+    u8 = [
+        np.unique(cols[c * r : (c + 1) * r] // BLK).size * BLK
+        for c in probe
+    ]
+    return (r * k) / float(max(np.mean(u8), 1.0))
+
+
 def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
                         rows_per_chunk: int = 256, chunk_slots: int = 0):
     """Per-segment BellPlans for a HostBinnedEll, in _bell_raw's segment
@@ -396,7 +420,14 @@ def build_segment_plans(hb, f_pad: int = 128, itemsize: int = 4,
             # the caller's r cap (VMEM stack budget, see ops/attention)
             r_dir = min(max((chunk_slots // k) // 8 * 8, 8),
                         rows_per_chunk)
-        plan = make_plan(cols=hb.flat_cols[off : off + nb * k], k=k,
+        seg_cols = hb.flat_cols[off : off + nb * k]
+        reuse_min = float(
+            os.environ.get("GALA_PALLAS_REUSE_MIN", _REUSE_MIN)
+        )
+        if _est_reuse(seg_cols, k, min(r_dir, r_seg)) < reuse_min:
+            plans.append(None)  # provably below break-even: skip planning
+            continue
+        plan = make_plan(cols=seg_cols, k=k,
                          rows_per_chunk=min(r_dir, r_seg),
                          max_staged_rows=budget_rows,
                          f_budget=max(f_pad, 128))

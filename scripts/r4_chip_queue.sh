@@ -42,19 +42,20 @@ timeout 3600 python scripts/evaluate.py --job table5 --datasets Products --scale
 timeout 3600 python scripts/evaluate.py --job fig20 --datasets Reddit --scale 0.25 \
     --iters 30 --outdir results_r4
 
-# 5. fig18 FULL reference grid (layers {2,3,4,8} x hidden {32..1024},
-#    GCN, Reddit-0.25 — reference: scripts/Evaluations/Figure-18.py:7-8)
-timeout 14400 python scripts/evaluate.py --job fig18 --datasets Reddit --scale 0.25 \
-    --layers 2 3 4 8 --hidden 32 64 128 256 512 1024 \
-    --iters 20 --outdir results_r4
-
-# 6. papers100M bf16 ladder: land 0.02 and push 0.05 (r3 queued, never ran)
+# 5. papers100M bf16 ladder: land 0.02 and push 0.05 (r3 queued, never ran)
 timeout 5400 python scripts/evaluate.py --job table6 --t6-dataset Papers100M \
     --fractions 0.02 --iters 20 --dtype bf16 --outdir results_r4
 timeout 7200 python scripts/evaluate.py --job table6 --t6-dataset Papers100M \
     --fractions 0.05 --iters 20 --dtype bf16 --outdir results_r4
 
-# 7. headline bench (updated contract)
+# 6. headline bench (updated contract)
 timeout 3600 python bench.py | tee results_r4/bench.json
+
+# 7. fig18 FULL reference grid (layers {2,3,4,8} x hidden {32..1024},
+#    GCN, Reddit-0.25 — reference: scripts/Evaluations/Figure-18.py:7-8)
+#    Last: longest job, partial rows still land in the CSV as they finish.
+timeout 14400 python scripts/evaluate.py --job fig18 --datasets Reddit --scale 0.25 \
+    --layers 2 3 4 8 --hidden 32 64 128 256 512 1024 \
+    --iters 20 --outdir results_r4
 
 echo "QUEUE DONE"

@@ -262,7 +262,12 @@ def test_pallas_attention_forward_matches(attn_graph, monkeypatch):
     from gala_tpu.ops.attention import AttnBell
 
     g_host, g = attn_graph
+    # force plans live on the tiny fixture: size floor, break-even reuse
+    # gate, and rows-per-chunk floor all bypassed (production gates are
+    # covered by test_pallas_lowering's gate tests)
     monkeypatch.setattr(pb, "_MIN_PLAN_SLOTS", 0)
+    monkeypatch.setenv("GALA_PALLAS_REUSE_MIN", "0")
+    monkeypatch.setattr(pb, "_MIN_R", 8)
     ab_p = AttnBell.from_host(g_host, g.n_pad, g.c_pad, use_pallas=True)
     assert ab_p.fwd.pallas_plans is not None
     assert any(p is not None for p in ab_p.fwd.pallas_plans)
@@ -319,6 +324,8 @@ def test_hub_only_graph_attention(monkeypatch):
     assert np.diff(g_host.row_ptr).min() > 128
 
     monkeypatch.setattr(pb, "_MIN_PLAN_SLOTS", 0)
+    monkeypatch.setenv("GALA_PALLAS_REUSE_MIN", "0")
+    monkeypatch.setattr(pb, "_MIN_R", 8)
     g = Graph.from_host(g_host, strategy="bell", attention=True,
                         keep_edges=True)
     ab_p = AttnBell.from_host(g_host, g.n_pad, g.c_pad, use_pallas=True)
