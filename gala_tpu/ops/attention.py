@@ -504,7 +504,8 @@ def _attn_fwd_raw(ab: AttnBell, x, vl, vr, slope, n_pad):
     return out, gth, probs, vr_bin, m_node, s_node
 
 
-def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
+def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad,
+                      need_flash: bool = True):
     """Memory-bounded forward: per-bin chunked gathers; the hub class
     accumulates with an online (rescaling) softmax so no S-sized buffer
     ever materializes.  Returns per-node stats only.
@@ -514,7 +515,13 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
     and s+ = sum_{zpre>0} p per destination — node-sized residuals that
     let the backward compute sds and dvr WITHOUT re-gathering the slot
     table (pass 1 of the old backward), cutting a full S-slot gather
-    sweep per layer (see _attn_bwd_chunked)."""
+    sweep per layer (see _attn_bwd_chunked).
+
+    need_flash=False (the custom_vjp PRIMAL, i.e. inference) skips the
+    pos-stat accumulation entirely: it would double the per-slot reduce
+    (a second (vk,vkf) einsum per chunk per head) and widen every
+    scan/fori carry — work XLA cannot dead-code-eliminate out of a
+    rolled loop — for residuals only the backward reads."""
     hf = x.shape[1]
     nh = vl.shape[1]
     fh = hf // nh
@@ -527,7 +534,8 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
 
     # fused Pallas forward: pad the [x | vl] table once
     xx_pallas = _pallas_table(b, xx, hf + nh)
-    use_flash = xx_pallas is None  # kernels do not emit the pos-stats
+    # kernels do not emit the pos-stats
+    use_flash = xx_pallas is None and need_flash
 
     parts, ms, ss, off, r0, si = [], [], [], 0, 0, 0
     pos_parts, spos_parts = [], []
@@ -555,26 +563,37 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                 seg = _gather_slots(pl.table(), cols_c, p_x, hf + nh)
                 outs_h, m_h, s_h, op_h, sp_h = [], [], [], [], []
                 for h in range(nh):
-                    o32, op32, m, s, sp = _head_softmax_pos(
-                        seg, wv, vr_c, hf, fh, h, slope
-                    )
+                    if use_flash:
+                        o32, op32, m, s, sp = _head_softmax_pos(
+                            seg, wv, vr_c, hf, fh, h, slope
+                        )
+                        op_h.append(op32)
+                        sp_h.append(sp)
+                    else:
+                        o32, _, m, s = _head_softmax(
+                            seg, wv, vr_c, hf, fh, h, slope
+                        )
                     outs_h.append(o32)
                     m_h.append(m)
                     s_h.append(s)
-                    op_h.append(op32)
-                    sp_h.append(sp)
                 cat = lambda xs: jnp.concatenate(xs, axis=1) if nh > 1 else xs[0]
-                return cat(outs_h), cat(m_h), cat(s_h), cat(op_h), cat(sp_h)
+                if use_flash:
+                    return cat(outs_h), cat(m_h), cat(s_h), cat(op_h), cat(sp_h)
+                return cat(outs_h), cat(m_h), cat(s_h)
 
             cols_seg = jax.lax.slice_in_dim(b.flat_cols, off, off + nb * k)
-            o_b, m_b, s_b, op_b, sp_b = _rolled_map(
+            outs_scan = _rolled_map(
                 cols_seg, nb, k, (w, vr_bin[r0 : r0 + nb]), fwd_body, rows_c
             )
+            if use_flash:
+                o_b, m_b, s_b, op_b, sp_b = outs_scan
+                pos_parts.append(op_b)
+                spos_parts.append(sp_b)
+            else:
+                o_b, m_b, s_b = outs_scan
             parts.append(o_b)
             ms.append(m_b)
             ss.append(s_b)
-            pos_parts.append(op_b)
-            spos_parts.append(sp_b)
             off += nb * k
             r0 += nb
             si += 1
@@ -589,30 +608,38 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
             wv = jax.lax.slice_in_dim(w, lo, hi)
             outs_h, m_h, s_h, op_h, sp_h = [], [], [], [], []
             for h in range(nh):
-                o32, op32, m, s, sp = _head_softmax_pos(
-                    seg, wv, vr_bin[r0 + lo : r0 + hi], hf, fh, h, slope
-                )
+                if use_flash:
+                    o32, op32, m, s, sp = _head_softmax_pos(
+                        seg, wv, vr_bin[r0 + lo : r0 + hi], hf, fh, h, slope
+                    )
+                    op_h.append(op32)
+                    sp_h.append(sp)
+                else:
+                    o32, _, m, s = _head_softmax(
+                        seg, wv, vr_bin[r0 + lo : r0 + hi], hf, fh, h, slope
+                    )
                 outs_h.append(o32)
                 m_h.append(m)
                 s_h.append(s)
-                op_h.append(op32)
-                sp_h.append(sp)
             cat = lambda xs: jnp.concatenate(xs, axis=1) if nh > 1 else xs[0]
-            o_c, m, s, op_c, sp_c = (
-                cat(outs_h), cat(m_h), cat(s_h), cat(op_h), cat(sp_h)
-            )
-            o_c, m, s, op_c, sp_c = pl.step(o_c, m, s, op_c, sp_c)
+            if use_flash:
+                o_c, m, s, op_c, sp_c = pl.step(
+                    cat(outs_h), cat(m_h), cat(s_h), cat(op_h), cat(sp_h)
+                )
+                opcs.append(op_c)
+                spcs.append(sp_c)
+            else:
+                o_c, m, s = pl.step(cat(outs_h), cat(m_h), cat(s_h))
             outs.append(o_c)
             mcs.append(m)
             scs.append(s)
-            opcs.append(op_c)
-            spcs.append(sp_c)
         cat0 = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]
         parts.append(cat0(outs))
         ms.append(cat0(mcs))
         ss.append(cat0(scs))
-        pos_parts.append(cat0(opcs))
-        spos_parts.append(cat0(spcs))
+        if use_flash:
+            pos_parts.append(cat0(opcs))
+            spos_parts.append(cat0(spcs))
         off += nb * k
         r0 += nb
         si += 1
@@ -672,7 +699,9 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
         def hub_chunk(m, s, acc, sp, accp, seg, wv, vrow):
             """One online-softmax hub update (rescaling accumulators);
             sp/accp carry the flash pos-statistics with the SAME
-            rescaling as s/acc."""
+            rescaling as s/acc — skipped entirely (None carries) when
+            the flash residuals are not needed (inference primal): the
+            accp einsum doubles the per-slot reduce work."""
             m_hs, s_hs, acc_hs, sp_hs, accp_hs = [], [], [], [], []
             for h in range(nh):
                 zpre = seg[..., hf + h].astype(jnp.float32) + vr_bin[
@@ -686,13 +715,8 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                 m_h = m[:, h]
                 m_new = jnp.maximum(m_h, jnp.maximum(m_c, _NEG))
                 p = jnp.where(wv != 0, jnp.exp(z - m_new[vrow][:, None]), 0.0)
-                ppos = jnp.where(zpre > 0, p, 0.0)
                 s_c = jax.ops.segment_sum(
                     jnp.sum(p, axis=1), vrow, num_segments=b.n_big,
-                    indices_are_sorted=True,
-                )
-                sp_c = jax.ops.segment_sum(
-                    jnp.sum(ppos, axis=1), vrow, num_segments=b.n_big,
                     indices_are_sorted=True,
                 )
                 acc_c = jax.ops.segment_sum(
@@ -703,48 +727,69 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                     ),
                     vrow, num_segments=b.n_big, indices_are_sorted=True,
                 )
-                accp_c = jax.ops.segment_sum(
-                    jnp.einsum(
-                        "vk,vkf->vf", ppos.astype(x.dtype),
-                        seg[..., h * fh : (h + 1) * fh],
-                        preferred_element_type=jnp.float32,
-                    ),
-                    vrow, num_segments=b.n_big, indices_are_sorted=True,
-                )
                 scale = jnp.exp(m_h - m_new)
                 s_hs.append(s[:, h] * scale + s_c)
-                sp_hs.append(sp[:, h] * scale + sp_c)
                 acc_hs.append(
                     acc[:, h * fh : (h + 1) * fh] * scale[:, None] + acc_c
                 )
-                accp_hs.append(
-                    accp[:, h * fh : (h + 1) * fh] * scale[:, None] + accp_c
-                )
                 m_hs.append(m_new)
+                if use_flash:
+                    ppos = jnp.where(zpre > 0, p, 0.0)
+                    sp_c = jax.ops.segment_sum(
+                        jnp.sum(ppos, axis=1), vrow, num_segments=b.n_big,
+                        indices_are_sorted=True,
+                    )
+                    accp_c = jax.ops.segment_sum(
+                        jnp.einsum(
+                            "vk,vkf->vf", ppos.astype(x.dtype),
+                            seg[..., h * fh : (h + 1) * fh],
+                            preferred_element_type=jnp.float32,
+                        ),
+                        vrow, num_segments=b.n_big, indices_are_sorted=True,
+                    )
+                    sp_hs.append(sp[:, h] * scale + sp_c)
+                    accp_hs.append(
+                        accp[:, h * fh : (h + 1) * fh] * scale[:, None] + accp_c
+                    )
             m = jnp.stack(m_hs, axis=1)
             s = jnp.stack(s_hs, axis=1)
-            sp = jnp.stack(sp_hs, axis=1)
             acc = jnp.concatenate(acc_hs, axis=1) if nh > 1 else acc_hs[0]
+            if not use_flash:
+                return m, s, acc
+            sp = jnp.stack(sp_hs, axis=1)
             accp = jnp.concatenate(accp_hs, axis=1) if nh > 1 else accp_hs[0]
             return m, s, acc, sp, accp
 
         m = jnp.full((b.n_big, nh), _NEG, jnp.float32)
         s = jnp.zeros((b.n_big, nh), jnp.float32)
         acc = jnp.zeros((b.n_big, hf), jnp.float32)
-        sp = jnp.zeros((b.n_big, nh), jnp.float32)
-        accp = jnp.zeros((b.n_big, hf), jnp.float32)
+        if use_flash:
+            sp = jnp.zeros((b.n_big, nh), jnp.float32)
+            accp = jnp.zeros((b.n_big, hf), jnp.float32)
+            carry0 = (m, s, acc, sp, accp)
+        else:
+            sp = accp = None
+            carry0 = (m, s, acc)
         rows_c = _chunk_rows(kb, hf + nh, b.chunk_slots)
         if sctx is None and -(-vb // rows_c) >= _SCAN_MIN_CHUNKS:
             def hub_body(carry, cols_c, wv, vrow):
                 seg = _gather_slots(pl.table(), cols_c, p_x, hf + nh)
-                return hub_chunk(*carry, seg, wv, vrow)
+                if use_flash:
+                    return hub_chunk(*carry, seg, wv, vrow)
+                m_, s_, acc_ = carry
+                return hub_chunk(m_, s_, acc_, None, None, seg, wv, vrow)
 
             cols_seg = jax.lax.slice_in_dim(b.flat_cols, off, off + vb * kb)
-            m, s, acc, sp, accp = _rolled_acc(
+            carry = _rolled_acc(
                 cols_seg, vb, kb, (b.big_vals, b.big_vrow),
-                (m, s, acc, sp, accp), hub_body, rows_c,
+                carry0, hub_body, rows_c,
             )
+            if use_flash:
+                m, s, acc, sp, accp = carry
+            else:
+                m, s, acc = carry
         else:
+            carry = carry0
             for ci, (lo, hi) in enumerate(
                 _chunks(vb, kb, hf + nh, b.chunk_slots)
             ):
@@ -755,8 +800,16 @@ def _attn_fwd_chunked(ab: AttnBell, x, vl, vr, slope, n_pad):
                                     sctx[si][ci] if sctx else None)
                 wv = jax.lax.slice_in_dim(b.big_vals, lo, hi)
                 vrow = jax.lax.slice_in_dim(b.big_vrow, lo, hi)
-                m, s, acc, sp, accp = hub_chunk(m, s, acc, sp, accp, seg, wv, vrow)
-                m, s, acc, sp, accp = pl.step(m, s, acc, sp, accp)
+                if use_flash:
+                    carry = hub_chunk(*carry, seg, wv, vrow)
+                else:
+                    m_, s_, acc_ = carry
+                    carry = hub_chunk(m_, s_, acc_, None, None, seg, wv, vrow)
+                carry = pl.step(*carry)
+            if use_flash:
+                m, s, acc, sp, accp = carry
+            else:
+                m, s, acc = carry
         s = jnp.where(s > 0, s, 1.0)
         per_head = lambda a: jnp.concatenate(
             [a[:, h * fh : (h + 1) * fh] / s[:, h : h + 1] for h in range(nh)],
@@ -1344,7 +1397,10 @@ def attention_aggregate(n_pad, c_pad, slope, ab: AttnBell, x, vl, vr):
     if _is_flat(ab, x.shape[1], vl.shape[1]):
         out, *_ = _attn_fwd_raw(ab, x, vl, vr, slope, n_pad)
     else:
-        out, *_ = _attn_fwd_chunked(ab, x, vl, vr, slope, n_pad)
+        # primal = inference: no backward will read the flash residuals,
+        # so skip their accumulation (it doubles the per-slot reduce)
+        out, *_ = _attn_fwd_chunked(ab, x, vl, vr, slope, n_pad,
+                                    need_flash=False)
     return out
 
 
