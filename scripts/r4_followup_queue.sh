@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-4 follow-up chip jobs — run AFTER scripts/r4_chip_queue.sh.
+# One TPU chip: never overlap a timing run.
+set -x
+cd /root/repo
+mkdir -p results_r4
+
+probe() {
+    timeout 120 python -c "import jax, jax.numpy as jnp; \
+r = jax.jit(lambda x: (x@x).sum())(jnp.ones((128,128))); r.block_until_ready(); \
+print('probe ok')" || { echo "TUNNEL DEAD — aborting queue"; exit 1; }
+}
+probe
+
+# 0. fig16 Reddit GAT re-run: the main queue's row predates the
+#    need-flash inference fix (primal no longer accumulates the
+#    flash pos-stats), so inference_time should drop
+timeout 5400 python scripts/evaluate.py --job fig16 --datasets Reddit --models gat \
+    --scale 0.25 --iters 30 --outdir results_r4
+
+# 1. GAT component decomposition at Reddit-0.25 (VERDICT r3 #4: why is
+#    the epoch-level GAT:GCN ratio ~6x when the fused attention forward
+#    measures 1.32x of a GCN sweep at arxiv scale?)
+timeout 3600 python scripts/profile_gat.py --dataset Reddit --scale 0.25 \
+    --iters 15 2>&1 | tee results_r4/profile_gat_reddit.txt
+
+# 2. fig19 memory-vs-time schedules under round-4 defaults
+timeout 3600 python scripts/evaluate.py --job fig19 --datasets Reddit --scale 0.25 \
+    --iters 20 --outdir results_r4
+
+# 3. int64 path refresh
+timeout 1200 python -m gala_tpu inference_long examples/gcn.txt --scale 0.05 \
+    2>&1 | tee results_r4/int64_refresh.txt
+
+echo "FOLLOWUP DONE"

@@ -171,6 +171,15 @@ def test_chunked_attention_matches_flat(attn_graph, monkeypatch, scan_min):
     for a1, a2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-4, atol=2e-5)
 
+    # PRIMAL (inference: no grad, need_flash=False skips the pos-stat
+    # accumulation) must equal the differentiated forward's output
+    out_primal = attention_aggregate(
+        g.n_pad, g.c_pad, SLOPE, g.attn, x, vl, vr
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_primal), np.asarray(out1), rtol=2e-5, atol=2e-5
+    )
+
 
 def test_packed_chunked_attention_matches(attn_graph, monkeypatch):
     """Packed tables + chunked attention (both forced) == flat path."""
