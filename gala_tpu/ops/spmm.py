@@ -450,8 +450,15 @@ def _bell_raw(bell, x, n_out_pad):
     s_total = bell.flat_cols.shape[0]
     itemsize = jnp.dtype(x.dtype).itemsize
     # fused Pallas path (plans built at graph load): block-DMA staging
-    # replaces the XLA gather entirely, so packing/staging don't apply
-    use_pallas = bell.pallas_plans is not None
+    # replaces the XLA gather entirely, so packing/staging don't apply.
+    # LIVE plans only: after the per-segment reuse gate every entry may
+    # be None (real community layouts measure reuse 0.13-0.19, r4), and
+    # the XLA fallback must then keep its own optimizations — packing,
+    # staged two-level gathers, the flat path.  Gating on the list's
+    # mere existence cost Products-0.25 GCN 1.7x (0.62s vs 0.37s epoch).
+    use_pallas = bell.pallas_plans is not None and any(
+        pn is not None for pn in bell.pallas_plans
+    )
     xp_pallas = None
     if use_pallas:
         f_pad = ((f + 127) // 128) * 128

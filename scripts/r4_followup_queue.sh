@@ -12,10 +12,15 @@ print('probe ok')" || { echo "TUNNEL DEAD — aborting queue"; exit 1; }
 }
 probe
 
-# 0. fig16 Reddit GAT re-run: the main queue's row predates the
-#    need-flash inference fix (primal no longer accumulates the
-#    flash pos-stats), so inference_time should drop
+# 0. fig16 re-runs: the main queue's rows predate two fixes —
+#    (a) need-flash: the inference primal no longer accumulates the
+#        flash pos-stats (Reddit GAT inference should drop);
+#    (b) all-None plan lists no longer disable the XLA fallback's
+#        packing/staging/flat optimizations (Products GCN regressed
+#        1.7x in the main queue run: 0.62s vs r3's 0.37s)
 timeout 5400 python scripts/evaluate.py --job fig16 --datasets Reddit --models gat \
+    --scale 0.25 --iters 30 --outdir results_r4
+timeout 5400 python scripts/evaluate.py --job fig16 --datasets Products --models gcn gat \
     --scale 0.25 --iters 30 --outdir results_r4
 
 # 1. GAT component decomposition at Reddit-0.25 (VERDICT r3 #4: why is
