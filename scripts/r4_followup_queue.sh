@@ -37,4 +37,11 @@ timeout 3600 python scripts/evaluate.py --job fig19 --datasets Reddit --scale 0.
 timeout 1200 python -m gala_tpu inference_long examples/gcn.txt --scale 0.05 \
     2>&1 | tee results_r4/int64_refresh.txt
 
+# 4. external-ecosystem baseline (stock flax.linen + segment_sum GNNs,
+#    VERDICT r3 missing #3): same synthetic graphs, same timing protocol
+timeout 3600 python scripts/baseline_flax.py --datasets Arxiv --models gcn gat \
+    --iters 30 --outdir results_r4
+timeout 5400 python scripts/baseline_flax.py --datasets Reddit --models gcn gat \
+    --scale 0.25 --iters 15 --outdir results_r4
+
 echo "FOLLOWUP DONE"
