@@ -312,7 +312,7 @@ class AttnBell:
                   chunk_slots: int = 0, use_pallas: bool = False,
                   pallas_feat: int = 128) -> "AttnBell":
         from gala_tpu.data.ell import S_CHUNK, build_stage_tables
-        from gala_tpu.ops.graph import _STAGE_BUILD_BYTES
+        from gala_tpu.ops.graph import _STAGE_BUILD_BYTES, _STAGE_MAX_UNIQ_FRAC
 
         hb, hbt = build_attention_bell(g)
 
@@ -320,7 +320,7 @@ class AttnBell:
             if rows * 128 * 2 <= _STAGE_BUILD_BYTES:
                 return None
             st = build_stage_tables(h, chunk_slots or S_CHUNK)
-            return st if st.uniq_frac < 0.55 else None
+            return st if st.uniq_frac < _STAGE_MAX_UNIQ_FRAC else None
 
         plans = plans_t = None
         if use_pallas:

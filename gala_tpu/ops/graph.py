@@ -159,6 +159,9 @@ _DENSE_MAX_NODES = 16384  # N_pad^2 f32 <= 1GB; MXU wins below this size
 # build stage tables when a bf16 feature table could cross the gather
 # cliff (the runtime gate ops.spmm._STAGE_MIN_BYTES decides per dtype)
 _STAGE_BUILD_BYTES = 72 << 20
+# beyond this per-chunk unique fraction staging loses to the direct
+# gather (v5e model: t_staged/t_plain ~ uniq_frac + 0.36, data.ell)
+_STAGE_MAX_UNIQ_FRAC = 0.55
 
 
 def _round_up(x: int, m: int) -> int:
@@ -372,9 +375,9 @@ class Graph:
                 if table_rows * 128 * 2 <= _STAGE_BUILD_BYTES:
                     return None
                 st = build_stage_tables(hb, chunk_slots or S_CHUNK)
-                # beyond ~0.55 unique fraction staging loses to the
-                # direct gather; skip the device upload entirely
-                return st if st.uniq_frac < 0.55 else None
+                # high-uniq-frac tables lose to the direct gather;
+                # skip the device upload entirely
+                return st if st.uniq_frac < _STAGE_MAX_UNIQ_FRAC else None
 
             def _plans(hb_side):
                 if not use_pallas:

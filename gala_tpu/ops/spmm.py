@@ -346,6 +346,48 @@ def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None, stage=None,
 
         bounds = stage_chunks(k, nb, chunk_slots)
         assert len(bounds) == len(stage), (len(bounds), len(stage))
+        if len(bounds) >= _SCAN_MIN_CHUNKS:
+            # Many chunks: rolled lax.scan, mirroring the unstaged path
+            # below.  The unrolled barrier chain does NOT bound liveness
+            # once the reduce sits inside a training while-loop: XLA's
+            # remat/compression scheduling kept every chunk's staged
+            # gather temp live at once (chip-measured: table5 Products-
+            # 0.25 cir needed 21.5G for 15.75G HBM — 109 chunks x
+            # ~200MB, the whole (S, f) slot-feature array).  A scan body
+            # is its own memory barrier: one chunk's st/seg is live at a
+            # time.  Ragged arrays are padded to uniform shapes host-
+            # side cheap: uniq to the segment max (extra rows gather
+            # redundantly, <=12.5% by the %8 pad + chunk evenness),
+            # last chunk's local/vals with zeros (zero vals null the
+            # garbage gathers).
+            rows = bounds[0][1] - bounds[0][0]
+            u_max = max(int(u.shape[0]) for u, _ in stage)
+            uniq_s = jnp.stack([
+                jnp.pad(u, (0, u_max - u.shape[0])) for u, _ in stage
+            ])
+            local_s = jnp.stack([
+                jnp.pad(l, (0, rows * k - l.shape[0])) for _, l in stage
+            ])
+            nb_pad = len(bounds) * rows
+            vals_s = vals
+            if nb_pad != nb:
+                vals_s = jnp.concatenate(
+                    [vals, jnp.zeros((nb_pad - nb, k), vals.dtype)]
+                )
+            vals_s = vals_s.reshape(len(bounds), rows, k)
+
+            def body(_, chunk):
+                uniq_c, local_c, vals_c = chunk
+                st = jax.lax.optimization_barrier(x[uniq_c])
+                seg = st[local_c.reshape(rows, k)]
+                o_c = jnp.einsum(
+                    "vk,vkf->vf", vals_c.astype(x.dtype), seg,
+                    preferred_element_type=jnp.float32,
+                ).astype(out_dtype)
+                return 0, o_c
+
+            _, outs = jax.lax.scan(body, 0, (uniq_s, local_s, vals_s))
+            return outs.reshape(nb_pad, -1)[:nb]
         outs = []
         tabs = [x, x]
         for c, (lo, hi) in enumerate(bounds):

@@ -37,6 +37,13 @@ timeout 3600 python scripts/evaluate.py --job fig19 --datasets Reddit --scale 0.
 timeout 1200 python -m gala_tpu inference_long examples/gcn.txt --scale 0.05 \
     2>&1 | tee results_r4/int64_refresh.txt
 
+# 3b. table5 Products re-run: the main-queue run OOMed at `cir` (21.5G
+#     needed / 15.75G HBM — unrolled staged chunks all live inside the
+#     train loop); the staged reduce now scan-rolls at >=16 chunks
+#     (AOT memory probe: 2.4G temp).  Re-measures all four variants.
+timeout 5400 python scripts/evaluate.py --job table5 --datasets Products --scale 0.25 \
+    --iters 30 --outdir results_r4
+
 # 4. external-ecosystem baseline (stock flax.linen + segment_sum GNNs,
 #    VERDICT r3 missing #3): same synthetic graphs, same timing protocol
 timeout 3600 python scripts/baseline_flax.py --datasets Arxiv --models gcn gat \

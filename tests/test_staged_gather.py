@@ -81,6 +81,48 @@ def test_staged_vs_unstaged_bitwise(small_dataset, force_stage):
     np.testing.assert_allclose(staged, direct, rtol=1e-5, atol=1e-5)
 
 
+def test_staged_scan_rolled_matches(small_dataset, monkeypatch, force_stage):
+    """Many-chunk staged segments roll into lax.scan (one chunk's staged
+    temps live at a time — the unrolled barrier chain let XLA keep every
+    chunk's gather temp alive inside a training while-loop and OOM at
+    Products-0.25 scale).  Shrinking S_CHUNK forces multi-chunk segments
+    on the 300-node fixture; the rolled result must match the dense
+    oracle and the unstaged path, forward and backward."""
+    import gala_tpu.data.ell as ell_mod
+
+    monkeypatch.setattr(ell_mod, "S_CHUNK", 64)
+    monkeypatch.setattr(spmm_mod, "_SCAN_MIN_CHUNKS", 2)
+    # tiny chunks dedup poorly on the random fixture; the perf gate
+    # must not drop the tables whose CORRECTNESS this test pins
+    monkeypatch.setattr(graph_mod, "_STAGE_MAX_UNIQ_FRAC", 1.1)
+    g_host, *_ = small_dataset
+    a = densify(g_host)
+    g = Graph.from_host(g_host, strategy="bell")
+    assert g.bell.stage is not None
+    n_chunks = max(
+        len(stage_chunks(k, nb))
+        for k, nb in zip(g.bell.bin_ks, g.bell.bin_counts)
+    )
+    assert n_chunks >= 2, "fixture did not produce multi-chunk segments"
+    x = np.random.default_rng(3).normal(size=(g.n_nodes, 72)).astype(np.float32)
+    xp = g.pad_nodes(x)
+    out = np.asarray(spmm(g, xp))
+    np.testing.assert_allclose(out[: g.n_nodes], a @ x, rtol=1e-4, atol=1e-4)
+    grad = jax.grad(lambda v: jnp.sum(spmm(g, v) ** 2))(xp)
+    np.testing.assert_allclose(
+        np.asarray(grad)[: g.n_nodes], 2 * a.T @ (a @ x), rtol=1e-3, atol=1e-3
+    )
+    # parity against the unstaged path on the same layout
+    g2 = dataclasses.replace(
+        g,
+        bell=dataclasses.replace(g.bell, stage=None),
+        t_bell=dataclasses.replace(g.t_bell, stage=None),
+    )
+    np.testing.assert_allclose(
+        out, np.asarray(spmm(g2, xp)), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_staged_attention_matches_unstaged(small_dataset, monkeypatch, force_stage):
     import gala_tpu.ops.attention as attn_mod
     from gala_tpu.ops.attention import AttnBell, attention_aggregate
