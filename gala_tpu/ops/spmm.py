@@ -672,6 +672,35 @@ def _bell_slot_grads(bell, x, dz_bin):
 
     def seg_grads(off, rows, k, dz_rows):
         rows_c = max(_BELL_CHUNK_ELEMS // max(k * _phys_cols(f), 1), 1)
+        n_chunks = -(-rows // rows_c)
+        if n_chunks >= _SCAN_MIN_CHUNKS:
+            # rolled scan: one chunk's (rows_c, k, f) gather temp live
+            # at a time (unrolled chains stop bounding liveness inside
+            # a training while-loop — see _bell_bin_reduce)
+            rows_pad = n_chunks * rows_c
+            cols2 = jax.lax.slice_in_dim(
+                bell.flat_cols, off, off + rows * k
+            )
+            dz2 = dz_rows
+            if rows_pad != rows:
+                cols2 = jnp.concatenate(
+                    [cols2, jnp.zeros((rows_pad - rows) * k, cols2.dtype)]
+                )
+                dz2 = jnp.concatenate(
+                    [dz2, jnp.zeros((rows_pad - rows, f), dz2.dtype)]
+                )
+            cols2 = cols2.reshape(n_chunks, rows_c, k)
+            dz2 = dz2.reshape(n_chunks, rows_c, f)
+
+            def body(_, chunk):
+                cols_c, dz_c = chunk
+                seg = x[cols_c].astype(jnp.float32)
+                return 0, jnp.sum(
+                    seg * dz_c.astype(jnp.float32)[:, None, :], axis=-1
+                ).reshape(-1)
+
+            _, outs = jax.lax.scan(body, 0, (cols2, dz2))
+            return outs.reshape(-1)[: rows * k]
         outs = []
         for lo in range(0, rows, rows_c):
             hi = min(rows, lo + rows_c)

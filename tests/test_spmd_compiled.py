@@ -307,6 +307,44 @@ def test_spmd_bell_edge_values_unfused_gat_grads():
         )
 
 
+def test_spmd_bell_ev_grads_scan_rolled(monkeypatch):
+    """_bell_slot_grads' many-chunk scan branch (forced via tiny chunk
+    budget) must produce the same learned-edge-value gradients as the
+    halo path — covers the rolled d_evals SDDMM sweep the same way
+    test_staged_gather covers the rolled staged forward."""
+    import gala_tpu.ops.spmm as S
+    from gala_tpu.dsl.parser import parse_source
+    from gala_tpu.lowering.lower import lower
+
+    monkeypatch.setattr(S, "_BELL_CHUNK_ELEMS", 1 << 12)
+    monkeypatch.setattr(S, "_SCAN_MIN_CHUNKS", 2)
+    src = open("/root/reference/tests/GALA-DSL/gat/Cora/a100.txt").read()
+    spec = parse_source(src)
+    spec.passes.attention_fusion = False
+    cm = lower(spec, mode="train", strategy="segment", scale=1.0)
+    params = cm.make_params(0)
+    n = cm.host_graph.n_rows
+    sm_b = shard_compiled(cm, use_bell=True)
+    sm_h = shard_compiled(cm, use_halo=True)
+
+    def loss_of(m):
+        def loss(p):
+            lg = m.forward(p, m.full_graphs, m.invariant(m.full_graphs, m.x))
+            return jnp.sum(jnp.sin(lg[:n].astype(jnp.float32)))
+
+        return loss
+
+    with sm_h.mesh:
+        g_h = jax.jit(jax.grad(loss_of(sm_h)))(params)
+    with sm_b.mesh:
+        g_b = jax.jit(jax.grad(loss_of(sm_b)))(params)
+    for a0, a1 in zip(jax.tree_util.tree_leaves(g_h),
+                      jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(a0), rtol=5e-4, atol=5e-4
+        )
+
+
 def test_spmd_tp_composes_with_bell():
     """DP x TP (Megatron FFN splits over 'model') composes with the
     scatter-free bell aggregation over 'data'."""
