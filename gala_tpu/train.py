@@ -203,32 +203,41 @@ def train(
     def fwd_train(params, extra):
         return fwd_any(params, gs_train, x_train_eff, extra)
 
+    # row-index vectors ride as jit ARGUMENTS like the graphs/features
+    # above: closed over, they embed as per-executable device constants
+    # whose ._value fetch during lowering is an extra n-scaled copy per
+    # compiled program (ResourceExhausted at papers100M-0.05 on the v5e)
     if forward_rows is not None and train_rows is not None:
         # training loss on the train-row subset only (classifier +
         # logits at mask-fraction size; see interp.make_forward)
-        def _loss(params, graphs, xc, y, tm, extra):
-            lg = forward_rows(params, graphs, _with_extra(xc, extra), train_rows)
-            return masked_cross_entropy(lg, y[train_rows], tm[train_rows])
+        def _loss(params, graphs, xc, y, tm, extra, rows):
+            lg = forward_rows(params, graphs, _with_extra(xc, extra), rows)
+            return masked_cross_entropy(lg, y[rows], tm[rows])
     else:
-        def _loss(params, graphs, xc, y, tm, extra):
+        def _loss(params, graphs, xc, y, tm, extra, rows):
+            del rows
             return masked_cross_entropy(
                 forward(params, graphs, _with_extra(xc, extra)), y, tm
             )
 
     @jax.jit
-    def step_any(params, opt_state, graphs, xc, y, tm, extra):
-        loss, grads = jax.value_and_grad(_loss)(params, graphs, xc, y, tm, extra)
+    def step_any(params, opt_state, graphs, xc, y, tm, extra, rows):
+        loss, grads = jax.value_and_grad(_loss)(
+            params, graphs, xc, y, tm, extra, rows
+        )
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
     def step_train(params, opt_state, extra):
         return step_any(
-            params, opt_state, gs_train, x_train_eff, labels, train_mask, extra
+            params, opt_state, gs_train, x_train_eff, labels, train_mask,
+            extra, train_rows,
         )
 
     def step_full(params, opt_state, extra):
         return step_any(
-            params, opt_state, full_graphs, x_full, labels, train_mask, extra
+            params, opt_state, full_graphs, x_full, labels, train_mask,
+            extra, train_rows,
         )
 
     # ---- fused epoch runs: a lax.scan of training steps per dispatch.
@@ -247,11 +256,11 @@ def train(
     @functools.lru_cache(maxsize=None)
     def multi_step(length: int):
         @functools.partial(jax.jit, static_argnums=())
-        def run(params, opt_state, graphs, xc, y, tm, extras):
+        def run(params, opt_state, graphs, xc, y, tm, extras, rows):
             def body(carry, ex):
                 p, o = carry
                 loss, grads = jax.value_and_grad(_loss)(
-                    p, graphs, xc, y, tm, ex if ex is not None else {}
+                    p, graphs, xc, y, tm, ex if ex is not None else {}, rows
                 )
                 updates, o2 = tx.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o2), loss
@@ -264,7 +273,7 @@ def train(
         def call(params, opt_state, extras=None):
             return run(
                 params, opt_state, gs_train, x_train_eff, labels, train_mask,
-                extras,
+                extras, train_rows,
             )
 
         return call
@@ -275,14 +284,15 @@ def train(
         # the biggest non-graph buffers at papers100M scale (VERDICT
         # round-1; same row-local suffix selection as the train loss)
         @jax.jit
-        def _acc_rows(params, graphs, xc, extra):
-            lg = forward_rows(params, graphs, _with_extra(xc, extra), test_rows)
-            return masked_accuracy(
-                lg, labels[test_rows], test_mask[test_rows]
-            )
+        def _acc_rows(params, graphs, xc, extra, rows, y, sm):
+            lg = forward_rows(params, graphs, _with_extra(xc, extra), rows)
+            return masked_accuracy(lg, y[rows], sm[rows])
 
         def test_acc(params, extra):
-            return _acc_rows(params, full_graphs, x_full, extra)
+            return _acc_rows(
+                params, full_graphs, x_full, extra, test_rows, labels,
+                test_mask,
+            )
     else:
         @jax.jit
         def _acc_any(params, graphs, xc, y, sm, extra):

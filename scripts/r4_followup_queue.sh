@@ -44,6 +44,13 @@ timeout 1200 python -m gala_tpu inference_long examples/gcn.txt --scale 0.05 \
 timeout 5400 python scripts/evaluate.py --job table5 --datasets Products --scale 0.25 \
     --iters 30 --outdir results_r4
 
+# 3c. papers100M bf16 0.05 retry: the main-queue run died lowering
+#     step_train — train_rows/test_rows/labels rode as closed-over
+#     device constants, an extra n-scaled copy per compiled executable
+#     (ResourceExhausted); they are jit arguments now
+timeout 7200 python scripts/evaluate.py --job table6 --t6-dataset Papers100M \
+    --fractions 0.05 --iters 20 --dtype bf16 --outdir results_r4
+
 # 4. external-ecosystem baseline (stock flax.linen + segment_sum GNNs,
 #    VERDICT r3 missing #3): same synthetic graphs, same timing protocol
 timeout 3600 python scripts/baseline_flax.py --datasets Arxiv --models gcn gat \
