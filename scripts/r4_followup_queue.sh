@@ -58,4 +58,9 @@ timeout 3600 python scripts/baseline_flax.py --datasets Arxiv --models gcn gat \
 timeout 5400 python scripts/baseline_flax.py --datasets Reddit --models gcn gat \
     --scale 0.25 --iters 15 --outdir results_r4
 
+# 5. bench with the locality-bearing RGG2D section (Pallas engaged
+#    end-to-end: spatial-tile ids clear the staged-row reuse break-even
+#    that the R-MAT community stand-ins never do); npz cache pre-warmed
+timeout 3600 python bench.py | tee results_r4/bench_rgg.json
+
 echo "FOLLOWUP DONE"
