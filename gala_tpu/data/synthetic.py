@@ -47,6 +47,11 @@ def rgg2d_edges(n: int, radius: float, seed: int = 0) -> tuple[np.ndarray, np.nd
     (reference: src/utils/generator.h `generate_rgg2D`)."""
     rng = np.random.default_rng(seed)
     pts = rng.random((n, 2))
+    from gala_tpu import native
+
+    nat = native.rgg2d_native(pts, radius)
+    if nat is not None:
+        return nat
     # grid-bucket neighbor search, O(n) for constant expected degree
     cell = max(radius, 1e-6)
     gx = (pts[:, 0] / cell).astype(np.int64)

@@ -94,6 +94,21 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     lib.keys_symmetric_i64.restype = ctypes.c_int
+    lib.rgg2d_count.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rgg2d_fill.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.omp_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -278,3 +293,47 @@ def thread_count() -> int:
     single-core hosts)."""
     lib = _load()
     return int(lib.omp_threads()) if lib is not None else 0
+
+
+def rgg2d_native(pts: np.ndarray, radius: float):
+    """(src i64, dst i64) directed neighbor pairs of a 2-D random
+    geometric graph, or None when native is unavailable.  Grid-hash
+    search: Python buckets nodes by cell (vectorized counting sort),
+    the C++ passes run the 9-cell distance tests that dominate the
+    pure-Python generator (~160s -> ~2s at 1.5M nodes / 25M edges)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = pts.shape[0]
+    cell = max(radius, 1e-6)
+    nx = int(np.ceil(1.0 / cell))
+    gx = np.minimum((pts[:, 0] / cell).astype(np.int64), nx - 1)
+    gy = np.minimum((pts[:, 1] / cell).astype(np.int64), nx - 1)
+    key = gx * nx + gy
+    order = np.argsort(key, kind="stable")
+    nodes_by_cell = np.ascontiguousarray(order, np.int32)
+    cell_start = np.zeros(nx * nx + 1, np.int64)
+    np.add.at(cell_start[1:], key, 1)
+    np.cumsum(cell_start, out=cell_start)
+    px = np.ascontiguousarray(pts[:, 0], np.float64)
+    py = np.ascontiguousarray(pts[:, 1], np.float64)
+    counts = np.zeros(nx * nx, np.int64)
+    lib.rgg2d_count(
+        nx, _ptr(px, ctypes.c_double), _ptr(py, ctypes.c_double),
+        float(radius) * float(radius),
+        _ptr(cell_start, ctypes.c_int64), _ptr(nodes_by_cell, ctypes.c_int32),
+        _ptr(counts, ctypes.c_int64),
+    )
+    offsets = np.zeros(nx * nx + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    e = int(offsets[-1])
+    out_src = np.empty(e, np.int32)
+    out_dst = np.empty(e, np.int32)
+    lib.rgg2d_fill(
+        nx, _ptr(px, ctypes.c_double), _ptr(py, ctypes.c_double),
+        float(radius) * float(radius),
+        _ptr(cell_start, ctypes.c_int64), _ptr(nodes_by_cell, ctypes.c_int32),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(out_src, ctypes.c_int32), _ptr(out_dst, ctypes.c_int32),
+    )
+    return out_src.astype(np.int64), out_dst.astype(np.int64)

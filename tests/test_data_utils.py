@@ -547,3 +547,22 @@ def test_rgg2d_dataset_locality_and_training():
     )
     res = cm.train(iters=40)
     assert res.max_accuracy > 0.6, res.max_accuracy
+
+
+def test_rgg2d_native_matches_python(monkeypatch):
+    """The C++ grid-hash RGG neighbor search produces exactly the
+    Python generator's edge set (order-free comparison; CSR sorting
+    normalizes order downstream)."""
+    import gala_tpu.native as native
+    from gala_tpu.data.synthetic import rgg2d_edges
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    n, r = 5000, 0.02
+    s1, d1 = rgg2d_edges(n, r, seed=11)
+    monkeypatch.setenv("GALA_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(native, "_lib", None)
+    s2, d2 = rgg2d_edges(n, r, seed=11)
+    assert set(zip(s1.tolist(), d1.tolist())) == set(zip(s2.tolist(), d2.tolist()))
