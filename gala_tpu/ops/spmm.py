@@ -376,17 +376,28 @@ def _bell_bin_reduce(cols_flat, vals, x, out_dtype, k, p=1, f=None, stage=None,
                 )
             vals_s = vals_s.reshape(len(bounds), rows, k)
 
-            def body(_, chunk):
-                uniq_c, local_c, vals_c = chunk
-                st = jax.lax.optimization_barrier(x[uniq_c])
+            # Software-pipelined scan: the carry holds chunk i's staged
+            # table while the body gathers chunk i+1's — the stage-1
+            # uniq gather overlaps the stage-2 distribute + einsum of
+            # the previous chunk (the depth-2 overlap the unrolled
+            # barrier chain had; a plain scan serializes the two-level
+            # gather and cost Products-0.25 GCN ~1.4x).  uniq rolls by
+            # one so iteration i carries uniq[i+1]; the final roll-around
+            # gather of uniq[0] is dead work, one chunk in C.
+            def body(st, chunk):
+                uniq_next, local_c, vals_c = chunk
                 seg = st[local_c.reshape(rows, k)]
                 o_c = jnp.einsum(
                     "vk,vkf->vf", vals_c.astype(x.dtype), seg,
                     preferred_element_type=jnp.float32,
                 ).astype(out_dtype)
-                return 0, o_c
+                st_next = jax.lax.optimization_barrier(x[uniq_next])
+                return st_next, o_c
 
-            _, outs = jax.lax.scan(body, 0, (uniq_s, local_s, vals_s))
+            st0 = jax.lax.optimization_barrier(x[uniq_s[0]])
+            _, outs = jax.lax.scan(
+                body, st0, (jnp.roll(uniq_s, -1, axis=0), local_s, vals_s)
+            )
             return outs.reshape(nb_pad, -1)[:nb]
         outs = []
         tabs = [x, x]
