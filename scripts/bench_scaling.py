@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--no-halo", action="store_true",
                     help="all_gather variant instead of halo overlap")
+    ap.add_argument("--outdir", default=None,
+                    help="also append rows to <outdir>/stat_scaling.csv "
+                         "(the RESULTS.md source, scripts/report.py)")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +101,7 @@ def main():
     # divides one fixed problem, so eff = d0*t(d0) / (d*t(d))
     d0, _, _, t0 = rows[0]
     backend = jax.devices()[0].platform
+    csv_rows = []
     for d, n, e, t in rows:
         eff = (t0 / t) if args.mode == "weak" else (d0 * t0) / (d * t)
         print(json.dumps({
@@ -108,6 +112,19 @@ def main():
             "backend": backend,
             "publishable": backend not in ("cpu",),
         }))
+        csv_rows.append(
+            f"{d},{args.mode},{not args.no_halo},{n},{int(e)},"
+            f"{round(t, 6)},{round(eff, 4)},{backend}"
+        )
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        path = os.path.join(args.outdir, "stat_scaling.csv")
+        fresh = not os.path.exists(path)
+        with open(path, "a") as f:
+            if fresh:
+                f.write("devices,mode,halo,nodes,edges,"
+                        "epoch_s,scaling_efficiency,backend\n")
+            f.write("\n".join(csv_rows) + "\n")
 
 
 if __name__ == "__main__":
