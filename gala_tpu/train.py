@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 import time
 from typing import Callable, Sequence
 
@@ -203,14 +204,31 @@ def train(
     def fwd_train(params, extra):
         return fwd_any(params, gs_train, x_train_eff, extra)
 
-    # row-index vectors ride as jit ARGUMENTS like the graphs/features
-    # above: closed over, they embed as per-executable device constants
-    # whose ._value fetch during lowering is an extra n-scaled copy per
-    # compiled program (ResourceExhausted at papers100M-0.05 on the v5e)
+    # Row-index vectors: compile-time CONSTANTS below the size gate,
+    # jit arguments above it.  Embedded as literals they let XLA
+    # specialize the row-subset gathers (making them dynamic arguments
+    # cost ~7% on the arxiv headline: r4 bench 199.0M edges/s at
+    # cd09e85 -> 186.1M right after 20f61ce, VERDICT r4 #7); but at
+    # papers100M scale every executable's n-scaled constant copy OOMs
+    # during lowering (ResourceExhausted, r4 queue.log), so giant
+    # graphs keep them as arguments — the graphs/features rule.
+    _rows_gate = int(
+        _os.environ.get("GALA_ROWS_ARGS_MIN_N", str(2_000_000))
+    )
+    rows_as_args = int(labels.shape[0]) >= _rows_gate
+    # numpy (host) constants: traced as literals without the device
+    # round-trip that made closed-over jax.Arrays expensive to lower
+    train_rows_const = (
+        None if (rows_as_args or train_rows is None)
+        else np.asarray(train_rows)
+    )
+    train_rows_arg = train_rows if rows_as_args else None
+
     if forward_rows is not None and train_rows is not None:
         # training loss on the train-row subset only (classifier +
         # logits at mask-fraction size; see interp.make_forward)
         def _loss(params, graphs, xc, y, tm, extra, rows):
+            rows = rows if rows is not None else train_rows_const
             lg = forward_rows(params, graphs, _with_extra(xc, extra), rows)
             return masked_cross_entropy(lg, y[rows], tm[rows])
     else:
@@ -231,13 +249,13 @@ def train(
     def step_train(params, opt_state, extra):
         return step_any(
             params, opt_state, gs_train, x_train_eff, labels, train_mask,
-            extra, train_rows,
+            extra, train_rows_arg,
         )
 
     def step_full(params, opt_state, extra):
         return step_any(
             params, opt_state, full_graphs, x_full, labels, train_mask,
-            extra, train_rows,
+            extra, train_rows_arg,
         )
 
     # ---- fused epoch runs: a lax.scan of training steps per dispatch.
@@ -273,7 +291,7 @@ def train(
         def call(params, opt_state, extras=None):
             return run(
                 params, opt_state, gs_train, x_train_eff, labels, train_mask,
-                extras, train_rows,
+                extras, train_rows_arg,
             )
 
         return call
@@ -283,15 +301,18 @@ def train(
         # classifier FFN + (N, C) logits shrink to the mask fraction —
         # the biggest non-graph buffers at papers100M scale (VERDICT
         # round-1; same row-local suffix selection as the train loss)
+        test_rows_const = None if rows_as_args else np.asarray(test_rows)
+
         @jax.jit
         def _acc_rows(params, graphs, xc, extra, rows, y, sm):
+            rows = rows if rows is not None else test_rows_const
             lg = forward_rows(params, graphs, _with_extra(xc, extra), rows)
             return masked_accuracy(lg, y[rows], sm[rows])
 
         def test_acc(params, extra):
             return _acc_rows(
-                params, full_graphs, x_full, extra, test_rows, labels,
-                test_mask,
+                params, full_graphs, x_full, extra,
+                test_rows if rows_as_args else None, labels, test_mask,
             )
     else:
         @jax.jit
@@ -431,8 +452,6 @@ def train(
     total_time = timer.stop(loss, n=max(iters - warmup, 1))
 
     # ---- inference phase: forward-only epochs, same graph schedule -- #
-    import os as _os
-
     from gala_tpu.utils.timing import fence as _fence
 
     _dbg = bool(_os.environ.get("GALA_TPU_PHASE_DEBUG"))
