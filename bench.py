@@ -377,15 +377,20 @@ def main():
         print(json.dumps(enriched), flush=True)
         return
 
-    # ---- extra 4: locality-bearing config (RGG2D, Pallas engaged) ------ #
+    # ---- extra 4: locality-bearing config (RGG2D) + Pallas A/B --------- #
     # The R-MAT community stand-ins measure staged-row reuse 0.13-0.19 on
     # every segment, so the per-segment break-even gate correctly keeps
     # them on XLA and products_pallas_slot_frac reads 0.0.  The geometric
     # generator family (reference: src/utils/generator.h generate_rgg2D)
-    # with spatial-tile node ids — the layout real geometric exports ship
-    # with, reconstructable by the runtime's BFS reordering — measures
-    # reuse ~3.5 on the dominant segment: the fused bell kernels engage
-    # end-to-end and this row reports what they deliver.
+    # with Morton-order node ids measures reuse ~3.4 on the dominant
+    # segments — the ONE config where the fused Pallas kernels engage
+    # end-to-end (84% of slots planned).  The same-graph A/B (VERDICT r4
+    # #1; reference analog: the coarsened-kernel vs cuSPARSE dispatch,
+    # /root/reference/src/codegen/cuda.h:211-279 vs :282-436) measured
+    # the engaged path at 0.71x the XLA executors (73.2 vs 102.7M
+    # edges/s, r5) — so the DEFAULT is the XLA path (rgg_edges_per_s)
+    # and the engaged run under GALA_PALLAS_AUTO=1 reports the
+    # negative-result ratio explicitly.
     try:
         data_r = load_dataset("RGG2D")
         cm_r = lower(spec, mode="train", data=data_r, dtype=act_dtype)
@@ -404,27 +409,28 @@ def main():
         enriched.update(
             rgg_edges_per_s=round(data_r[0].n_edges / r_epoch, 1)
             if r_epoch else 0.0,
-            rgg_pallas_slot_frac=round((pf + pb) / max(sf + sb, 1), 3),
             rgg_gather_gbps=round(gbps_r, 1),
             rgg_pct_hbm_sol=round(100.0 * gbps_r / HBM_SOL_GBPS, 1),
         )
 
-        # A/B CONTROL (VERDICT r4 #1): the SAME graph through the pure
-        # XLA executors (plans forced off) — the engaged-path number
-        # above is meaningless without it.  Mirrors the reference's own
-        # coarsened-kernel vs cuSPARSE dispatch A/B
-        # (/root/reference/src/codegen/cuda.h:211-279 vs :282-436).
-        os.environ["GALA_PALLAS_AUTO"] = "0"
+        # engaged-path arm of the A/B (auto-selection forced back on)
+        os.environ["GALA_PALLAS_AUTO"] = "1"
         try:
-            cm_rx = lower(spec, mode="train", data=data_r, dtype=act_dtype)
-            rx_epoch = cm_rx.train(iters=15, warmup=3).total_time
+            cm_rp = lower(spec, mode="train", data=data_r, dtype=act_dtype)
+            rp_epoch = cm_rp.train(iters=15, warmup=3).total_time
+            grp = cm_rp.full_graphs[0]
+            sfp, pfp, _ = _side_stats(grp.bell)
+            sbp, pbp, _ = _side_stats(grp.t_bell)
         finally:
             os.environ.pop("GALA_PALLAS_AUTO", None)
         enriched.update(
-            rgg_xla_edges_per_s=round(data_r[0].n_edges / rx_epoch, 1)
-            if rx_epoch else 0.0,
-            rgg_pallas_vs_xla=round(rx_epoch / r_epoch, 3)
-            if r_epoch and rx_epoch else 0.0,
+            rgg_pallas_edges_per_s=round(data_r[0].n_edges / rp_epoch, 1)
+            if rp_epoch else 0.0,
+            rgg_pallas_slot_frac=round(
+                (pfp + pbp) / max(sfp + sbp, 1), 3
+            ),
+            rgg_pallas_vs_xla=round(r_epoch / rp_epoch, 3)
+            if r_epoch and rp_epoch else 0.0,
         )
     except Exception:
         pass  # RGG row is optional; the enriched line still prints

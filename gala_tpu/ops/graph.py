@@ -538,22 +538,27 @@ def choose_strategy(
 def _pallas_auto(c_pad: int, feat_dim: int) -> bool:
     """Opt into the fused Pallas kernels from strategy='auto'.
 
-    DEFAULT ON (r3) for graphs whose gather table sits above the
-    measured XLA gather cliff (~96MB physical — where the staged/packed
-    XLA fallbacks run at 158-323M rows/s): the one-hot bell kernel is
-    chip-measured at 4.3-9.7x over the XLA one-shot whenever staged-row
-    reuse >= ~3 (results_r3/pallas_bell_onehot.txt), and the per-segment
-    planner keeps a plan ONLY above the measured break-even
-    (bell_spmm._reuse_ok), so low-locality segments transparently stay
-    on XLA.  GALA_PALLAS_AUTO=0 disables; =1 forces even below the
-    table-size gate."""
+    DEFAULT OFF (r5): the end-to-end same-graph A/B on the one config
+    where the kernels engage (RGG2D Morton layout, 84% of slots
+    planned, staged-row reuse 3.43 — results_r5/bench1.txt) measured
+    the Pallas path at 73.2M edges/s vs 102.7M for the plain XLA
+    executors: a 1.4x LOSS despite the kernel winning its microbench
+    3.8x at the same layout.  The microbench win does not survive the
+    whole program: the XLA path's flat/packed gathers fuse into the
+    surrounding epoch scan while each Pallas call is its own kernel
+    with 128-lane-padded staging and un-fused boundaries.  Real
+    community layouts never engage anyway (staged-row reuse 0.13-0.19,
+    r4).  GALA_PALLAS_AUTO=1 re-enables auto-selection above the
+    table-size gate (the per-segment reuse planner still decides per
+    segment); the kernels remain first-class for strategy='pallas_bell'
+    and research use."""
     import os
 
     flag = os.environ.get("GALA_PALLAS_AUTO", "")
-    if flag == "0":
+    if flag != "1":
         return False
     phys = ((feat_dim + 127) // 128) * 128
-    if flag != "1" and c_pad * phys * 4 <= (96 << 20):
+    if c_pad * phys * 4 <= (96 << 20):
         return False
     # never hand a dead Mosaic toolchain a kernel: probe once (round-2's
     # tunnel 500'd every Pallas compile while XLA worked; a user flipping

@@ -79,13 +79,15 @@ def test_degrees_match(graph_and_dense):
 
 def test_strategy_heuristic(monkeypatch):
     assert choose_strategy(1000, 1000, 5000) == "dense"
-    # above the ~96MB gather cliff the fused Pallas bell is the default
-    # (r3: _pallas_auto ON; the per-segment reuse gate still decides per
-    # plan at build time)
-    assert choose_strategy(10**6, 10**6, 10**5) == "pallas_bell"
-    assert choose_strategy(10**6, 10**6, 10**9) == "pallas_bell"
-    monkeypatch.setenv("GALA_PALLAS_AUTO", "0")
+    # r5: auto never selects the Pallas kernels (the end-to-end A/B on
+    # the engaged RGG2D config measured them 1.4x SLOWER than the XLA
+    # executors, results_r5/bench1.txt); GALA_PALLAS_AUTO=1 restores
+    # auto-selection above the ~96MB gather-cliff table gate
     assert choose_strategy(10**6, 10**6, 10**5) == "bell"
+    assert choose_strategy(10**6, 10**6, 10**9) == "bell"
+    monkeypatch.setenv("GALA_PALLAS_AUTO", "1")
+    assert choose_strategy(10**6, 10**6, 10**5) == "pallas_bell"
+    assert choose_strategy(10**5, 10**5, 10**5) == "bell"  # below gate
     monkeypatch.delenv("GALA_PALLAS_AUTO")
     # below the cliff the XLA bell path wins (gather not yet degraded)
     assert choose_strategy(10**5, 10**5, 10**6) == "bell"
