@@ -89,7 +89,7 @@ class FlaxGAT(nn.Module):
 MODELS = {"gcn": FlaxGCN, "gat": FlaxGAT}
 
 
-def run_one(model_name, dataset, scale, iters, hidden, outdir):
+def run_one(model_name, dataset, scale, iters, hidden, outdir, dtype="f32"):
     from gala_tpu.data.datasets import load_dataset
 
     g, feats, labels, masks = load_dataset(dataset, scale=scale)
@@ -100,6 +100,10 @@ def run_one(model_name, dataset, scale, iters, hidden, outdir):
     src = jnp.asarray(g.src)
     dst = jnp.asarray(g.dst)
     x = jnp.asarray(feats)
+    if dtype == "bf16":
+        # a stock user's mixed-precision variant: bf16 activations,
+        # f32 params/loss — rows are tagged flax-bf16
+        x = x.astype(jnp.bfloat16)
     y = jnp.asarray(labels.astype(np.int32))
     train_mask = jnp.asarray(masks["train"])
 
@@ -128,31 +132,45 @@ def run_one(model_name, dataset, scale, iters, hidden, outdir):
         updates, s = tx.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
+    # fetch-fenced timing (gala_tpu.utils.timing): jax.block_until_ready
+    # RETURNS WITHOUT WAITING on the axon tunnel (docs/PERF_NOTES.md) —
+    # the r4-queued version of this script used it and measured enqueue
+    # time (2.3e-5 s "epochs", results_r5/flax_arxiv.txt first run).
+    # The timer fences on a host fetch of the last enqueued result, the
+    # exact protocol the gala_tpu rows use, so the comparison is fair.
+    from gala_tpu.utils.timing import EpochTimer
+
     warmup = 5
-    # ---- inference ----
-    r = None
-    for _ in range(warmup):
-        r = forward(params, x, src, dst, inv_sqrt_deg, n)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = forward(params, x, src, dst, inv_sqrt_deg, n)
-    jax.block_until_ready(r)
-    inf_t = (time.perf_counter() - t0) / iters
+    try:
+        # ---- inference ----
+        r = None
+        timer = EpochTimer()
+        for i in range(warmup + iters):
+            if i == warmup:
+                timer.start(fence_on=None if r is None else r[0, 0])
+            r = forward(params, x, src, dst, inv_sqrt_deg, n)
+        inf_t = timer.stop(r[0, 0], n=iters)
 
-    # ---- training ----
-    p, s = params, opt_state
-    loss = None
-    for _ in range(warmup):
-        p, s, loss = step(p, s, x, src, dst, inv_sqrt_deg, y, train_mask, n)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        p, s, loss = step(p, s, x, src, dst, inv_sqrt_deg, y, train_mask, n)
-    jax.block_until_ready(loss)
-    tot_t = (time.perf_counter() - t0) / iters
+        # ---- training ----
+        p, s = params, opt_state
+        loss = None
+        timer = EpochTimer()
+        for i in range(warmup + iters):
+            if i == warmup:
+                timer.start(fence_on=loss)
+            p, s, loss = step(p, s, x, src, dst, inv_sqrt_deg, y, train_mask, n)
+        tot_t = timer.stop(loss, n=iters)
+        inf_t, tot_t = repr(inf_t), repr(tot_t)
+    except Exception as e:  # stock layer-1 at full input width OOMs
+        # one v5e on Reddit-0.25 f32 (27.4M edges x 256 feats messages
+        # = 26.1G of 15.75G HBM) — the reference tables record baseline
+        # OOMs the same way
+        if "RESOURCE_EXHAUSTED" not in str(e) and "Ran out of memory" not in str(e):
+            raise
+        inf_t = tot_t = "oom"
 
-    row = f"{dataset},flax,{model_name},{inf_t},{tot_t}"
+    system = "flax" if dtype == "f32" else f"flax-{dtype}"
+    row = f"{dataset},{system},{model_name},{inf_t},{tot_t}"
     path = os.path.join(outdir, "stat_baseline_flax.csv")
     new = not os.path.exists(path)
     with open(path, "a") as f:
@@ -170,11 +188,13 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--hidden", type=int, default=32)
     ap.add_argument("--outdir", default="results_r4")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
     for d in args.datasets:
         for m in args.models:
-            run_one(m, d, args.scale, args.iters, args.hidden, args.outdir)
+            run_one(m, d, args.scale, args.iters, args.hidden,
+                    args.outdir, dtype=args.dtype)
 
 
 if __name__ == "__main__":
