@@ -14,6 +14,16 @@ smaller feature dimension:
 - enable_tim mode (training driver): never move an FFN earlier — a longer
   learned-op-free prefix maximizes what training-invariant code motion
   can hoist (reference: gala_train.cpp enables TIM-aware reordering).
+- TPU cost model (r5): even in default mode, an FFN never moves ahead
+  of a PARAMETER-FREE chain.  A param-free prefix is hoistable — by the
+  TIM pass in train mode, and by XLA's loop-invariant code motion
+  inside the fused epoch scan at run time — so it costs ~0 per epoch;
+  bubbling the FFN past it makes the chain param-dependent and turns a
+  free sweep into a per-epoch one (measured: table5 Reddit-0.25 `all`
+  ran two in-loop 32-wide sweeps at 0.41s forward while `cir` kept the
+  param-free 256-wide L1 sweep hoisted and ran one, 0.24s).  Moving
+  early is still the win when the chain already depends on parameters
+  (every layer past the first).
 
 The rewiring swaps the two nodes' output DataNodes and re-threads inputs,
 exactly preserving dataflow for downstream consumers.
@@ -54,6 +64,30 @@ def _swap_adjacent(loop, i: int, j: int) -> None:
     loop.swap(i, j)
 
 
+def _param_dependent(loop, d) -> bool:
+    """True when the DataNode `d` transitively consumes any learned op
+    (FFN) within the loop — i.e. the chain producing it is NOT
+    hoistable by TIM / XLA loop-invariant code motion."""
+    producers = {}
+    for n in loop.nodes:
+        for out in n.outputs:
+            producers[id(out)] = n
+    seen = set()
+    stack = [d]
+    while stack:
+        cur = stack.pop()
+        if id(cur) in seen:
+            continue
+        seen.add(id(cur))
+        n = producers.get(id(cur))
+        if n is None:
+            continue  # loop input (feats/graph/pre-computed): param-free
+        if n.op is ComputeOp.FFN:
+            return True
+        stack.extend(n.inputs)
+    return False
+
+
 def operator_reordering(prog: Program, enable_tim: bool = False) -> Program:
     loop = prog.loop
     if loop is None:
@@ -67,7 +101,8 @@ def operator_reordering(prog: Program, enable_tim: bool = False) -> Program:
             w_in, w_out = _ffn_width(node)
             if w_out < w_in and not enable_tim:
                 # move earlier while the producer directly feeding us is a
-                # movable op
+                # movable op — but never onto a param-free (hoistable)
+                # chain (TPU cost model, see module docstring)
                 i = j - 1
                 if i >= 0:
                     prev = loop.nodes[i]
@@ -75,6 +110,9 @@ def operator_reordering(prog: Program, enable_tim: bool = False) -> Program:
                         prev.op in _MOVABLE_PAST
                         and prev.outputs[0] is node.inputs[0]
                         and prev.layer in (node.layer, -1)
+                        and _param_dependent(
+                            loop, prev.inputs[_feature_input_index(prev)]
+                        )
                     ):
                         _swap_adjacent(loop, i, j)
                         changed = True

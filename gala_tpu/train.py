@@ -379,14 +379,29 @@ def train(
         @jax.jit
         def run(params, dep0, graphs, xc, extras):
             def body(dep, ex):
-                # thread a tiny dependency through one parameter leaf so
-                # XLA cannot hoist the loop-invariant forward out of the
-                # scan; the term underflows against any real weight, so
-                # results are unchanged
-                leaves, treedef = jax.tree_util.tree_flatten(params)
-                leaves = [leaves[0] + (dep * 1e-38).astype(leaves[0].dtype)] + leaves[1:]
-                p = jax.tree_util.tree_unflatten(treedef, leaves)
-                lg = forward(p, graphs, _with_extra(xc, ex if ex is not None else {}))
+                # thread a tiny dependency through EVERY float input —
+                # params AND the carried features — so XLA cannot hoist
+                # any part of the loop-invariant forward out of the
+                # scan.  Threading only the first param leaf (the r2
+                # version) left PARAM-FREE PREFIXES hoistable: XLA
+                # lifted cir-variant table5's 256-wide L1 sweep out of
+                # the scanned inference epochs and the row measured
+                # roughly half a forward (r5 diag_table5_all: single-
+                # dispatch cir fwd 464 ms vs 236 ms/epoch scanned).
+                # The term underflows against any real value, so
+                # results are unchanged.
+                eps = dep * 1e-38
+
+                def bump(v):
+                    if hasattr(v, "dtype") and jnp.issubdtype(
+                        v.dtype, jnp.floating
+                    ):
+                        return v + eps.astype(v.dtype)
+                    return v
+
+                p = jax.tree_util.tree_map(bump, params)
+                xb = jax.tree_util.tree_map(bump, xc)
+                lg = forward(p, graphs, _with_extra(xb, ex if ex is not None else {}))
                 return jnp.mean(lg).astype(jnp.float32), None
 
             dep, _ = jax.lax.scan(body, dep0, extras, length=length)

@@ -33,10 +33,17 @@ def test_reorder_moves_shrinking_ffn_before_aggregate():
     prog = generate_ir(_gcn_spec())
     prog = operator_reordering(prog)
     ops = _ops(prog.loop.nodes)
-    # layer-1 FFN (24->16) must now precede the layer-1 aggregation
-    i_ffn = ops.index(ComputeOp.FFN)
-    i_agg = ops.index(ComputeOp.AGGREGATE_MUL_SUM)
-    assert i_ffn < i_agg
+    # layer-1: the aggregation chain is PARAM-FREE (hoistable by TIM /
+    # XLA loop-invariant motion), so the shrinking FFN does NOT bubble
+    # past it (r5 TPU cost model — see passes/reorder.py docstring)
+    i_ffn1 = ops.index(ComputeOp.FFN)
+    i_agg1 = ops.index(ComputeOp.AGGREGATE_MUL_SUM)
+    assert i_agg1 < i_ffn1
+    # layer-2: its chain consumes layer-1's FFN output (param-dependent,
+    # nothing hoists), so the shrinking 16->5 FFN still moves early
+    i_ffn2 = ops.index(ComputeOp.FFN, i_ffn1 + 1)
+    i_agg2 = ops.index(ComputeOp.AGGREGATE_MUL_SUM, i_agg1 + 1)
+    assert i_ffn2 < i_agg2
     # wiring stays acyclic: no node consumes its own output
     for n in prog.loop.nodes:
         assert all(d is not n.outputs[0] for d in n.inputs)
