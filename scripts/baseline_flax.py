@@ -108,10 +108,21 @@ def run_one(model_name, dataset, scale, iters, hidden, outdir, dtype="f32"):
     train_mask = jnp.asarray(masks["train"])
 
     model = MODELS[model_name](hidden=hidden, n_classes=n_classes)
-    params = model.init(jax.random.PRNGKey(0), x, src, dst, inv_sqrt_deg, n)
+
+    def _is_oom(e: Exception) -> bool:
+        return "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e)
+
+    try:
+        # init RUNS the forward — at Reddit-0.25 f32 the stock layer-1
+        # messages (27.4M x 256) already exceed HBM here
+        params = model.init(jax.random.PRNGKey(0), x, src, dst, inv_sqrt_deg, n)
+    except Exception as e:
+        if not _is_oom(e):
+            raise
+        params = None
     # reference training recipe (generated main()): Adam lr .01 wd 5e-4
     tx = optax.adamw(1e-2, weight_decay=5e-4)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params) if params is not None else None
 
     # graph/feature tensors ride as jit ARGUMENTS, not closure constants
     # (closed-over device arrays embed as HLO literals: slow compiles on
@@ -142,6 +153,8 @@ def run_one(model_name, dataset, scale, iters, hidden, outdir, dtype="f32"):
 
     warmup = 5
     try:
+        if params is None:
+            raise RuntimeError("RESOURCE_EXHAUSTED at init")
         # ---- inference ----
         r = None
         timer = EpochTimer()
@@ -165,7 +178,7 @@ def run_one(model_name, dataset, scale, iters, hidden, outdir, dtype="f32"):
         # one v5e on Reddit-0.25 f32 (27.4M edges x 256 feats messages
         # = 26.1G of 15.75G HBM) — the reference tables record baseline
         # OOMs the same way
-        if "RESOURCE_EXHAUSTED" not in str(e) and "Ran out of memory" not in str(e):
+        if not _is_oom(e):
             raise
         inf_t = tot_t = "oom"
 
