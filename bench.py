@@ -370,6 +370,11 @@ def main():
             products_gather_gbps=round(gbps_p, 1),
             products_pct_hbm_sol=round(100.0 * gbps_p / HBM_SOL_GBPS, 1),
         )
+        # free the Products device buffers (graph tables + features are
+        # GBs) before the RGG sections — holding every section's model
+        # alive exhausted HBM on the engaged RGG arm in r5 bench2
+        del cm_p, res_p, gp
+        import gc; gc.collect()
     except Exception:
         pass  # Products row is optional; the enriched line still prints
 
@@ -412,6 +417,10 @@ def main():
             rgg_gather_gbps=round(gbps_r, 1),
             rgg_pct_hbm_sol=round(100.0 * gbps_r / HBM_SOL_GBPS, 1),
         )
+        # free the XLA-arm model before compiling the engaged arm (the
+        # two RGG models + plan tables do not fit HBM together)
+        del cm_r, res_r, gr
+        import gc; gc.collect()
 
         # engaged-path arm of the A/B (auto-selection forced back on)
         os.environ["GALA_PALLAS_AUTO"] = "1"
