@@ -87,6 +87,8 @@ M1 = model(G, non_ln) {
 m1 = M1(G, dsl.non_ln.ReLU);
 m1.train(iters=10, validation_step=100);
 res = m1.eval();
+# schedule
+training_subgraph(false);
 """
     spec = parse_source(src)
     # strategy='segment' keeps the single-chip lowering light (the
@@ -97,8 +99,21 @@ res = m1.eval();
                strategy="segment")
     print(f"[papers-mc] lowered ({time.time()-t0:.0f}s)", flush=True)
 
+    # the single-chip device buffers (padded edge arrays, features,
+    # labels) are dead weight once shard_compiled re-puts everything
+    # from the host retention — at 142M edges holding them through the
+    # 8-way layout build OOM-killed the HOST (130G RSS, r5 first run);
+    # the training-subgraph pass is likewise disabled above (two more
+    # ~100M-edge layouts that the sharded run would rebuild per shard)
+    import gc
+    cm.full_graphs = None
+    cm.train_graphs = None
+    cm.x = cm.labels = cm.train_mask = cm.test_mask = None
+    gc.collect()
+
     mesh = make_mesh(args.devices, model_axis=1)
     sm = shard_compiled(cm, mesh=mesh, use_bell=True, dtype=jnp.bfloat16)
+    gc.collect()
     sg = sm.full_graphs[0]
     per_shard_nodes = sg.n_pad // args.devices
     print(f"[papers-mc] sharded: {args.devices}-way, "
