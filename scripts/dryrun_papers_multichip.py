@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """papers100M-0.05 bf16 THROUGH THE MULTI-CHIP PATH (VERDICT r4 #4).
 
-The 0.05 node-sampled papers100M stand-in (5.55M nodes / 80.8M edges,
+The 0.05 node-sampled papers100M stand-in (5.55M nodes / 142M symmetrized edges,
 f=128) is the config a single v5e chip provably cannot hold — the r4
 chip queue died lowering it with ResourceExhausted (21.48G needed of
 15.75G HBM, results_r4/queue.log) — i.e. exactly what `gala_tpu/
@@ -106,9 +106,12 @@ training_subgraph(false);
     # the training-subgraph pass is likewise disabled above (two more
     # ~100M-edge layouts that the sharded run would rebuild per shard)
     import gc
+    f_dim = int(np.asarray(cm.host_feats).shape[1])
     cm.full_graphs = None
     cm.train_graphs = None
-    cm.x = cm.labels = cm.train_mask = cm.test_mask = None
+    # make_params only reads x.shape[1]; a 1-row stub keeps that alive
+    cm.x = np.zeros((1, f_dim), np.float32)
+    cm.labels = cm.train_mask = cm.test_mask = None
     gc.collect()
 
     mesh = make_mesh(args.devices, model_axis=1)
