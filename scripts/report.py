@@ -81,7 +81,13 @@ def newest_bench(indirs):
     """Last contract-valid JSON line from the newest bench log."""
     best = None
     for d in indirs:
-        for p in sorted(glob.glob(os.path.join(d, "bench*"))):
+        # bench.json / bench<N>.txt only — experiment-tagged logs
+        # (bench_packall etc.) are A/B arms, not the headline
+        paths = sorted(
+            glob.glob(os.path.join(d, "bench.json"))
+            + glob.glob(os.path.join(d, "bench[0-9]*"))
+        )
+        for p in paths:
             try:
                 with open(p) as f:
                     for line in f:
@@ -112,6 +118,8 @@ SECTIONS = [
      {3: "%.4f", 4: "%.4f"}),
     ("stat_scaling.csv", "Multi-chip scaling harness (virtual CPU mesh)",
      {3: "%.4f", 4: "%.3f"}),
+    ("stat_papers_multichip.csv",
+     "Papers100M through the multi-chip path (virtual-mesh dryrun)", {}),
 ]
 
 NOTES = {
@@ -129,6 +137,18 @@ NOTES = {
         "that the sharded step compiles/executes and how the collective\n"
         "pattern scales the partitioned work — NOT ICI performance.\n"
         "Only real-chip rows are publishable as TPU scaling."),
+    "stat_papers_multichip.csv": (
+        "papers100M-0.05 bf16 is the config one v5e chip cannot hold\n"
+        "(runtime ResourceExhausted, results_r5/papers005.txt) — here it\n"
+        "trains node-partitioned over an 8-device mesh\n"
+        "(scripts/dryrun_papers_multichip.py; virtual CPU mesh, so\n"
+        "epoch_s_cpu_harness is a harness number, not TPU time)."),
+    "stat_baseline_flax.csv": (
+        "Stock flax.linen + jax.ops.segment_sum GNNs on the same graphs\n"
+        "and timing protocol (scripts/baseline_flax.py).  `oom` = the\n"
+        "stock path exceeds one v5e's 15.75G HBM (Reddit-0.25 layer-1\n"
+        "messages are 27.4M x 256 f32 = 26.1G; bf16 GAT dies on the\n"
+        "autodiff residuals)."),
 }
 
 
