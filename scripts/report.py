@@ -41,6 +41,9 @@ def read_rows(path):
         n_key = 3
     if "fraction" in header:
         n_key = 2
+    # scaling rows key on (devices, mode, halo)
+    if "devices" in header and "mode" in header:
+        n_key = 3
     return header, {tuple(r[:n_key]): r for r in body if r}
 
 
@@ -114,7 +117,8 @@ SECTIONS = [
      {2: "%.4f", 3: "%.4f"}),
     ("stat_table7.csv", "Table 7 — sampling modes (time + accuracy)",
      {2: "%.4f", 3: "%.3f"}),
-    ("stat_flax.csv", "Ecosystem baseline — stock flax.linen + segment_sum",
+    ("stat_baseline_flax.csv",
+     "Ecosystem baseline — stock flax.linen + segment_sum",
      {3: "%.4f", 4: "%.4f"}),
     ("stat_scaling.csv", "Multi-chip scaling harness (virtual CPU mesh)",
      {3: "%.4f", 4: "%.3f"}),
