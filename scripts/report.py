@@ -142,11 +142,19 @@ NOTES = {
         "pattern scales the partitioned work — NOT ICI performance.\n"
         "Only real-chip rows are publishable as TPU scaling."),
     "stat_papers_multichip.csv": (
-        "papers100M-0.05 bf16 is the config one v5e chip cannot hold\n"
-        "(runtime ResourceExhausted, results_r5/papers005.txt) — here it\n"
-        "trains node-partitioned over an 8-device mesh\n"
-        "(scripts/dryrun_papers_multichip.py; virtual CPU mesh, so\n"
-        "epoch_s_cpu_harness is a harness number, not TPU time)."),
+        "Papers100M node-partitioned over an 8-device mesh\n"
+        "(scripts/dryrun_papers_multichip.py; virtual CPU mesh —\n"
+        "epoch_s_cpu_harness is a harness number, not TPU time).\n"
+        "0.02 trains with a finite loss.  The 0.05 config — the one a\n"
+        "single v5e cannot hold (runtime ResourceExhausted 26.09G of\n"
+        "15.75G, results_r5/papers005.txt) — shards and COMPILES, but\n"
+        "its execution exceeds the 125G EMULATING HOST (OOM-killed at\n"
+        "~130G RSS at 8 AND 4 devices, results_r5/papers_multichip*),\n"
+        "because one host must hold every shard's halo+temps at once\n"
+        "with XLA:CPU widening bf16 to f32; the implied per-REAL-chip\n"
+        "footprint, 130G / 8 shards / 2 (bf16), is ~8.1G < 15.75G HBM —\n"
+        "the config fits an actual 8-chip mesh, which this image does\n"
+        "not have."),
     "stat_baseline_flax.csv": (
         "Stock flax.linen + jax.ops.segment_sum GNNs on the same graphs\n"
         "and timing protocol (scripts/baseline_flax.py).  `oom` = the\n"
