@@ -5,14 +5,34 @@ Multi-chip sharding tests run on a virtual CPU mesh
 Must run before jax is imported anywhere.
 """
 import os
+import sys
+
+# The axon sitecustomize registers the TPU plugin at interpreter start,
+# before this file runs — and once the plugin is registered, a DEAD
+# tunnel hangs `import jax`-level initialization no matter what
+# JAX_PLATFORMS says (r5: the CPU-only suite wedged 43 minutes in a
+# sleep-retry after a mid-session tunnel death).  The only reliable
+# opt-out is PALLAS_AXON_POOL_IPS="" from interpreter start, so rerun
+# pytest in a child with it unset (tests are CPU-only by contract).
+# Caveat: the parent pytest's fd-level capture already owns stdout
+# here, so the child's console output is not replayed — exit code and
+# --junitxml are authoritative.  `scripts/run_tests.sh` presets the
+# env so the normal path (with console output) is taken; this guard is
+# the backstop for plain `python -m pytest tests/` invocations.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    import subprocess
+
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    rc = subprocess.call(
+        [sys.executable, "-m", "pytest"] + sys.argv[1:], env=os.environ
+    )
+    os._exit(rc)
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# The axon sitecustomize registers the TPU platform at interpreter start,
-# before this file runs, so env vars alone can't deselect it; the config
-# update below wins as long as it happens before the first jax op.
-os.environ["JAX_PLATFORMS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 
 import jax  # noqa: E402
